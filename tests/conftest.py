@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding tests
+run anywhere (the real TPU is reserved for bench.py)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+sys.path.insert(0, os.path.dirname(__file__))
