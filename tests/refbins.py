@@ -51,6 +51,17 @@ def fsk_demod() -> str:
     ])
 
 
+def fsk_mod_driver() -> str:
+    return _build("fsk_mod_driver", [
+        "gcc", "-O2", os.path.join(_HERE, "ref_tools", "fsk_mod_driver.c"),
+        os.path.join(REF, "src", "fsk.c"),
+        os.path.join(REF, "src", "kiss_fft.c"),
+        os.path.join(REF, "src", "kiss_fftr.c"),
+        os.path.join(REF, "src", "modem_stats.c"),
+        "-I" + os.path.join(REF, "src"), "-lm",
+    ])
+
+
 def wenet_ldpc() -> str:
     return _build("wenet_ldpc", [
         "gcc", "-O2",

@@ -1,0 +1,165 @@
+"""Deframing: UW acquisition + packet extraction + LDPC decode + CRC gate.
+
+TPU-native re-architecture of the reference's one-symbol-at-a-time state
+machines (src/wenet_ldpc.c:171-259 v2, src/drs232_ldpc.c:176-275 v1):
+
+  * UW scoring over the whole soft stream is a single ±1 correlation
+    (vectorised), not a per-bit sliding buffer
+  * the sequential LOOK_FOR_UW / COLLECT_PACKET gating — detections are
+    consumed greedily and searching is suspended during collection — is a
+    cheap per-packet host loop over the precomputed score array, reproducing
+    the C semantics exactly (including the stale-bit-buffer windows right
+    after a packet, and the zero-filled buffer at stream start)
+  * candidate windows are then gathered into a batch and decoded together on
+    device: descramble/RS232-strip -> sd_to_llr -> batched BP decode -> CRC
+
+The C FSM's output (CRC-valid 256-byte payloads, in order) is reproduced
+byte-exactly; the batched decode is where the TPU earns its keep.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import framing
+from ..core import ldpc_tables as T
+from . import ldpc
+
+
+@dataclasses.dataclass
+class DeframeResult:
+    payloads: list            # CRC-valid 256-byte payloads (bytes), in order
+    n_detections: int         # UW detections == attempted packets
+    n_crc_ok: int
+    iters: np.ndarray         # (n_detections,) LDPC iterations
+    positions: np.ndarray     # (n_detections,) UW-end symbol index
+    crc_ok: np.ndarray        # (n_detections,) bool
+    packets_raw: np.ndarray   # (n_detections, 258) uint8 payload+crc bytes
+
+    @property
+    def per(self) -> float:
+        return (self.n_detections - self.n_crc_ok) / max(self.n_detections, 1)
+
+
+def _mode_params(mode: str):
+    if mode == "v2":
+        return (framing.UW_BITS_V2.astype(np.int8), framing.V2_UW_ALLOWED_ERRORS,
+                framing.V2_SYMBOLS_PER_PACKET)
+    if mode == "v1":
+        return (framing.UW_BITS_V1.astype(np.int8), framing.V1_UW_ALLOWED_ERRORS,
+                framing.V1_SYMBOLS_PER_PACKET)
+    raise ValueError("mode must be 'v1' or 'v2'")
+
+
+def uw_detect_positions(hard_bits: np.ndarray, mode: str = "v2") -> np.ndarray:
+    """Exact emulation of the C acquisition gating.
+
+    hard_bits: (n,) uint8 stream (bit = soft < 0, wenet_ldpc.c:176).
+    Returns UW-end positions t; collection covers symbols [t+1, t+SYMS].
+    """
+    uw, allowed, syms_per_packet = _mode_params(mode)
+    nuw = len(uw)
+    thresh = nuw - allowed
+    n = len(hard_bits)
+    if n < 1:
+        return np.zeros(0, np.int64)
+
+    # scores with the zero-initialised sliding buffer == correlate over a
+    # left-zero-padded stream (bit_buffer memset, wenet_ldpc.c:172)
+    padded = np.concatenate([np.zeros(nuw - 1, np.int8),
+                             hard_bits.astype(np.int8)])
+    # scores[t] = #window positions matching uw, via ±1 correlation
+    pm = 1 - 2 * padded.astype(np.int32)
+    uw_pm = (1 - 2 * uw.astype(np.int32))
+    corr = np.correlate(pm, uw_pm, mode="valid")      # len n
+    scores = (corr + nuw) // 2                        # equal-count per window
+
+    detections = []
+    t = 0                      # next window-end position to examine
+    stale = np.zeros(nuw, np.int8)                    # current bit_buffer
+    fresh = nuw - 1            # positions >= fresh have fully-fresh windows
+    hit_idx = np.flatnonzero(scores >= thresh)
+
+    while t < n:
+        if t < fresh:
+            # mixed stale/new windows right after a packet (or stream start):
+            # emulate the shift register explicitly for <nuw steps
+            buf = stale.copy()
+            found = -1
+            for u in range(t, min(fresh, n)):
+                buf = np.roll(buf, -1)
+                buf[-1] = hard_bits[u]
+                if int(np.sum(buf == uw)) >= thresh:
+                    found = u
+                    break
+            if found < 0:
+                t = fresh
+                continue
+            t = found
+        else:
+            nxt = hit_idx[np.searchsorted(hit_idx, t)] if (
+                np.searchsorted(hit_idx, t) < len(hit_idx)) else -1
+            if nxt < 0:
+                break
+            t = int(nxt)
+        # detection at t: collect [t+1, t+syms]; abandoned if stream ends
+        if t + syms_per_packet >= n:
+            break
+        detections.append(t)
+        # resume: buffer holds the bits that triggered the detection
+        stale = hard_bits[max(t - nuw + 1, 0):t + 1].astype(np.int8)
+        if len(stale) < nuw:
+            stale = np.concatenate([np.zeros(nuw - len(stale), np.int8), stale])
+        t = t + syms_per_packet + 1
+        fresh = t + nuw - 1
+    return np.asarray(detections, np.int64)
+
+
+def decode_candidates(soft: np.ndarray, positions: np.ndarray, mode: str = "v2",
+                      max_iter: int = T.MAX_ITER):
+    """Batch-decode the candidate windows at `positions` (UW-end indices).
+
+    Returns (packets_raw (B,258) uint8, crc_ok (B,) bool, iters (B,) int32).
+    """
+    _, _, syms = _mode_params(mode)
+    B = len(positions)
+    if B == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros((0, 258), np.uint8), np.zeros(0, bool), z.astype(np.int32)
+
+    idx = positions[:, None] + 1 + np.arange(syms)[None, :]
+    windows = soft[idx].astype(np.float64)            # C collects into double
+
+    if mode == "v2":
+        desc = framing.rx_descramble_soft(windows)    # ±1 table, exact
+        sd = desc[:, : T.CODE_LEN]
+    else:
+        stripped = framing.rs232_strip_soft(windows)  # (B, 2584)
+        sd = stripped[:, : T.CODE_LEN]
+
+    llr = np.asarray(ldpc.sd_to_llr(jnp.asarray(sd, jnp.float32)))
+    bits, iters, _ = ldpc.decode_np(llr, max_iter=max_iter)
+
+    pbytes = np.packbits(bits[:, : (256 + 2) * 8], axis=1)   # MSB-first pack
+    rx_crc = framing.crc16_ccitt_batch(pbytes[:, :256])
+    tx_crc = pbytes[:, 256].astype(np.uint16) | (pbytes[:, 257].astype(np.uint16) << 8)
+    return pbytes, rx_crc == tx_crc, np.asarray(iters)
+
+
+def deframe_soft(soft: np.ndarray, mode: str = "v2",
+                 max_iter: int = T.MAX_ITER) -> DeframeResult:
+    """Full deframe of a soft-decision stream -> CRC-valid payloads.
+
+    Equivalent to piping `soft` through the reference wenet_ldpc/drs232_ldpc
+    binary and concatenating its stdout.
+    """
+    soft = np.asarray(soft, np.float32)
+    hard = (soft < 0).astype(np.uint8)
+    positions = uw_detect_positions(hard, mode)
+    pkts, ok, iters = decode_candidates(soft, positions, mode, max_iter)
+    payloads = [pkts[i, :256].tobytes() for i in range(len(positions)) if ok[i]]
+    return DeframeResult(
+        payloads=payloads, n_detections=len(positions), n_crc_ok=int(ok.sum()),
+        iters=iters, positions=positions, crc_ok=ok, packets_raw=pkts)
