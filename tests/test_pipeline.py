@@ -1,0 +1,102 @@
+"""Full-chain RX pipeline tests: IQ -> packets, vs the reference C pipeline
+(fsk_demod | wenet_ldpc) on identical cu8 bytes — the SURVEY §4 contract."""
+import subprocess
+
+import numpy as np
+import pytest
+
+import refbins
+from wenet_tpu.core import framing
+from wenet_tpu.ops import channel, fsk, ldpc
+from wenet_tpu.rx.pipeline import Receiver
+
+needs_ref = pytest.mark.skipif(
+    not refbins.reference_available(), reason="reference tree/gcc unavailable")
+
+CFG = fsk.FSKConfig(Fs=96000, Rs=9600)
+F1, SHIFT = 19200, 9600
+
+
+def make_capture(n_packets, rng, mode="v2", idle=2):
+    """Synthesize a TX capture: framed packets with idle frames, modulated."""
+    payloads, bits = [], [rng.integers(0, 2, 1000).astype(np.uint8)]
+    for _ in range(n_packets):
+        p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+        payloads.append(p)
+        frame = framing.frame_packet(p, ldpc.encode_bytes, mode=mode)
+        bits.append(framing.frame_to_bits(frame, mode))
+        bits.append(rng.integers(0, 2, 64 * idle).astype(np.uint8))
+    stream = np.concatenate(bits)
+    stream = np.concatenate(
+        [stream, np.zeros((-len(stream)) % CFG.Nbits, np.uint8)])
+    sig, _ = fsk.fsk_mod_np(CFG, stream, F1, SHIFT)
+    return sig.astype(np.complex64), payloads
+
+
+def test_oneshot_decode_clean():
+    rng = np.random.default_rng(20)
+    sig, payloads = make_capture(5, rng)
+    iq = channel.add_awgn(sig, 14.0, CFG.Fs, CFG.Rs, rng=rng)
+    rx = Receiver(mode="v2", cfg=CFG)
+    got = rx.decode_iq(iq)
+    assert got == payloads
+    assert rx.stats.crc_ok == 5
+
+
+def test_streaming_equals_oneshot():
+    rng = np.random.default_rng(21)
+    sig, payloads = make_capture(6, rng)
+    iq = channel.add_awgn(sig, 9.5, CFG.Fs, CFG.Rs, rng=rng)
+
+    rx1 = Receiver(mode="v2", cfg=CFG)
+    oneshot = rx1.decode_iq(iq)
+
+    rx2 = Receiver(mode="v2", cfg=CFG)
+    got = []
+    chunk = 37 * CFG.N + 13     # deliberately unaligned chunking
+    for i in range(0, len(iq), chunk):
+        got.extend(rx2.push(iq[i:i + chunk]))
+    assert got == oneshot
+    assert len(got) >= 4
+
+
+@needs_ref
+def test_full_chain_matches_reference():
+    """Byte parity of CRC-valid payload output vs fsk_demod | wenet_ldpc on
+    the same cu8 capture, across SNRs straddling the decode cliff."""
+    demod_bin = refbins.fsk_demod()
+    ldpc_bin = refbins.wenet_ldpc()
+    rng = np.random.default_rng(22)
+    sig, _ = make_capture(8, rng)
+
+    for ebno in (8.0, 10.0, 14.0):
+        iq = channel.add_awgn(sig, ebno, CFG.Fs, CFG.Rs, rng=rng)
+        raw = fsk.iq_to_cu8(iq)
+
+        p1 = subprocess.run(
+            [demod_bin, "--cu8", "-s", "2", str(CFG.Fs), str(CFG.Rs), "-", "-"],
+            input=raw.tobytes(), capture_output=True, check=True)
+        p2 = subprocess.run([ldpc_bin, "-", "-"], input=p1.stdout,
+                            capture_output=True, check=True)
+        ref_payloads = [p2.stdout[i:i + 256]
+                        for i in range(0, len(p2.stdout), 256)]
+
+        rx = Receiver(mode="v2", cfg=CFG)
+        ours = rx.decode_iq(fsk.iq_from_cu8(raw))
+
+        # identical soft-bit algebra is verified elsewhere at tolerance; at
+        # the packet level the chains must agree on all but boundary-case
+        # packets near the cliff
+        matched = sum(1 for p in ours if p in ref_payloads)
+        assert abs(len(ours) - len(ref_payloads)) <= 1, (ebno, len(ours), len(ref_payloads))
+        assert matched >= len(ref_payloads) - 1, (ebno, matched, len(ref_payloads))
+        if ebno >= 10.0:
+            assert ours == ref_payloads, f"exact parity expected at {ebno} dB"
+
+
+def test_decode_below_cliff_yields_nothing():
+    rng = np.random.default_rng(23)
+    sig, _ = make_capture(3, rng)
+    iq = channel.add_awgn(sig, 4.0, CFG.Fs, CFG.Rs, rng=rng)
+    rx = Receiver(mode="v2", cfg=CFG)
+    assert rx.decode_iq(iq) == []

@@ -53,39 +53,53 @@ def _mode_params(mode: str):
     raise ValueError("mode must be 'v1' or 'v2'")
 
 
-def uw_detect_positions(hard_bits: np.ndarray, mode: str = "v2") -> np.ndarray:
+def uw_detect_positions(hard_bits: np.ndarray, mode: str = "v2",
+                        init_buffer: np.ndarray | None = None):
     """Exact emulation of the C acquisition gating.
 
     hard_bits: (n,) uint8 stream (bit = soft < 0, wenet_ldpc.c:176).
-    Returns UW-end positions t; collection covers symbols [t+1, t+SYMS].
+    init_buffer: (nuw,) prior bit_buffer contents (zeros at stream start).
+    Returns (positions, final_buffer): UW-end positions t — collection covers
+    symbols [t+1, t+SYMS] — and the buffer state after the last detection,
+    for exact stream resumption.
     """
     uw, allowed, syms_per_packet = _mode_params(mode)
     nuw = len(uw)
     thresh = nuw - allowed
     n = len(hard_bits)
+    hard_bits = np.asarray(hard_bits, np.int8)
+    if init_buffer is None:
+        init_buffer = np.zeros(nuw, np.int8)   # bit_buffer memset, wenet_ldpc.c:172
     if n < 1:
-        return np.zeros(0, np.int64)
+        return np.zeros(0, np.int64), init_buffer
 
-    # scores with the zero-initialised sliding buffer == correlate over a
-    # left-zero-padded stream (bit_buffer memset, wenet_ldpc.c:172)
-    padded = np.concatenate([np.zeros(nuw - 1, np.int8),
-                             hard_bits.astype(np.int8)])
-    # scores[t] = #window positions matching uw, via ±1 correlation
-    pm = 1 - 2 * padded.astype(np.int32)
-    uw_pm = (1 - 2 * uw.astype(np.int32))
+    # scores[t] = #matching window positions for the window ending at stream
+    # index t, buffer preloaded with init_buffer — a single ±1 correlation
+    # over [init tail | stream]
+    ext = np.concatenate([init_buffer[1:].astype(np.int8), hard_bits])
+    pm = 1 - 2 * ext.astype(np.int32)
+    uw_pm = 1 - 2 * uw.astype(np.int32)
     corr = np.correlate(pm, uw_pm, mode="valid")      # len n
     scores = (corr + nuw) // 2                        # equal-count per window
 
     detections = []
     t = 0                      # next window-end position to examine
-    stale = np.zeros(nuw, np.int8)                    # current bit_buffer
-    fresh = nuw - 1            # positions >= fresh have fully-fresh windows
+    stale = init_buffer        # buffer content frozen during COLLECT
+    fresh = 0                  # positions >= fresh follow the correlation
     hit_idx = np.flatnonzero(scores >= thresh)
+
+    def window_at(t):
+        """Emulated bit_buffer content after shifting in symbol t."""
+        lo = t - nuw + 1
+        if lo >= 0:
+            return hard_bits[lo:t + 1]
+        return np.concatenate([stale[lo:], hard_bits[:t + 1]])
 
     while t < n:
         if t < fresh:
-            # mixed stale/new windows right after a packet (or stream start):
-            # emulate the shift register explicitly for <nuw steps
+            # mixed stale/new windows right after a packet: the C buffer was
+            # frozen during collection, so these windows mix the detection
+            # bits with post-packet bits — emulate the shift register
             buf = stale.copy()
             found = -1
             for u in range(t, min(fresh, n)):
@@ -98,23 +112,23 @@ def uw_detect_positions(hard_bits: np.ndarray, mode: str = "v2") -> np.ndarray:
                 t = fresh
                 continue
             t = found
+            trigger_buf = buf
         else:
-            nxt = hit_idx[np.searchsorted(hit_idx, t)] if (
-                np.searchsorted(hit_idx, t) < len(hit_idx)) else -1
-            if nxt < 0:
+            k = np.searchsorted(hit_idx, t)
+            if k >= len(hit_idx):
                 break
-            t = int(nxt)
+            t = int(hit_idx[k])
+            trigger_buf = None
         # detection at t: collect [t+1, t+syms]; abandoned if stream ends
         if t + syms_per_packet >= n:
             break
         detections.append(t)
-        # resume: buffer holds the bits that triggered the detection
-        stale = hard_bits[max(t - nuw + 1, 0):t + 1].astype(np.int8)
-        if len(stale) < nuw:
-            stale = np.concatenate([np.zeros(nuw - len(stale), np.int8), stale])
+        # resume: buffer keeps the bits that triggered the detection
+        stale = np.array(trigger_buf if trigger_buf is not None
+                         else window_at(t), np.int8)
         t = t + syms_per_packet + 1
         fresh = t + nuw - 1
-    return np.asarray(detections, np.int64)
+    return np.asarray(detections, np.int64), stale
 
 
 def decode_candidates(soft: np.ndarray, positions: np.ndarray, mode: str = "v2",
@@ -148,6 +162,54 @@ def decode_candidates(soft: np.ndarray, positions: np.ndarray, mode: str = "v2",
     return pbytes, rx_crc == tx_crc, np.asarray(iters)
 
 
+class StreamDeframer:
+    """Stateful chunked deframer for live streams.
+
+    `push(chunk)` yields exactly the packets `deframe_soft` would produce on
+    the concatenated stream: completed packets are consumed eagerly (they are
+    final — the FSM is strictly left-to-right) and the post-detection
+    bit_buffer state is carried so cross-chunk and stale-buffer UW windows
+    are preserved bit-exactly.
+    """
+
+    def __init__(self, mode: str = "v2", max_iter: int = T.MAX_ITER):
+        self.mode = mode
+        self.max_iter = max_iter
+        uw, _, self._syms = _mode_params(mode)
+        self._nuw = len(uw)
+        self._buf = np.zeros(0, np.float32)
+        self._state = np.zeros(self._nuw, np.int8)   # bit_buffer at _buf[0]
+        self.n_detections = 0
+        self.n_crc_ok = 0
+
+    def push(self, soft_chunk: np.ndarray) -> list:
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(soft_chunk, np.float32)])
+        hard = (self._buf < 0).astype(np.uint8)
+        positions, stale = uw_detect_positions(hard, self.mode, self._state)
+        pkts, ok, _ = decode_candidates(self._buf, positions, self.mode,
+                                        self.max_iter)
+        out = [pkts[i, :256].tobytes() for i in range(len(positions)) if ok[i]]
+        self.n_detections += len(positions)
+        self.n_crc_ok += int(ok.sum())
+        if len(positions):
+            # consume through the last packet; FSM state there is the frozen
+            # detection buffer returned by uw_detect_positions
+            cut = int(positions[-1]) + self._syms + 1
+            self._buf = self._buf[cut:]
+            self._state = stale
+        elif len(self._buf) > self._syms + self._nuw:
+            # no detection can still complete before the kept tail: any
+            # trigger at t < n - syms was already recorded, so windows that
+            # matter end at >= n - syms and need nuw - 1 bits of history
+            cut = len(self._buf) - self._syms - self._nuw
+            self._state = hard[cut - self._nuw:cut].astype(np.int8) \
+                if cut >= self._nuw else np.concatenate(
+                    [self._state[cut - self._nuw:], hard[:cut]]).astype(np.int8)
+            self._buf = self._buf[cut:]
+        return out
+
+
 def deframe_soft(soft: np.ndarray, mode: str = "v2",
                  max_iter: int = T.MAX_ITER) -> DeframeResult:
     """Full deframe of a soft-decision stream -> CRC-valid payloads.
@@ -157,7 +219,7 @@ def deframe_soft(soft: np.ndarray, mode: str = "v2",
     """
     soft = np.asarray(soft, np.float32)
     hard = (soft < 0).astype(np.uint8)
-    positions = uw_detect_positions(hard, mode)
+    positions, _ = uw_detect_positions(hard, mode)
     pkts, ok, iters = decode_candidates(soft, positions, mode, max_iter)
     payloads = [pkts[i, :256].tobytes() for i in range(len(positions)) if ok[i]]
     return DeframeResult(

@@ -392,7 +392,7 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann):
 
 @partial(jax.jit, static_argnames=("cfg", "num_frames"))
 def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
-                 state: DemodState | None = None):
+                 state: DemodState | None = None, n_valid=None):
     """Demodulate a capture: iq (n,) complex64 -> per-frame FrameOut stack.
 
     The fread(nin)/samp_old state machine (fsk_demod.c:270, fsk.c:187-199)
@@ -400,8 +400,12 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
     capture; each step gathers its Nmem-sample window at a dynamic offset.
     Frames that would read past the end are masked invalid and freeze the
     carry (the C loop simply exits at EOF).
+
+    n_valid: optional traced count of real samples in `iq` (the rest being
+    padding), so streaming callers can bucket buffer shapes without
+    recompiling.
     """
-    n = iq.shape[0]
+    n = iq.shape[0] if n_valid is None else n_valid
     if state is None:
         state = demod_init(cfg)
     hann = jnp.asarray(hann_window(cfg.Ndft))
