@@ -408,6 +408,10 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
     n = iq.shape[0] if n_valid is None else n_valid
     if state is None:
         state = demod_init(cfg)
+        # tie the zero-init carry to iq so it is device-varying under
+        # shard_map (scan carries must keep a consistent varying type)
+        z = iq[0].real * 0.0
+        state = jax.tree.map(lambda a: a + z.astype(a.dtype), state)
     hann = jnp.asarray(hann_window(cfg.Ndft))
     pad_front = cfg.Nmem
     pad_back = cfg.Nmem + cfg.Ndft * cfg.max_fft_blocks

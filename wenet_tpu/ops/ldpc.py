@@ -156,11 +156,14 @@ def decode(llr: jnp.ndarray, max_iter: int = T.MAX_ITER):
         it, *_, converged = state
         return (it < max_iter) & ~jnp.all(converged)
 
+    # derive the zero-init carry from llr so it carries the same device-
+    # varying type under shard_map (scan/while carries must match)
+    zerof = llr[:, 0] * 0.0
     init = (
         jnp.array(0, jnp.int32), vmsg, vsgn,
-        jnp.zeros((B, T.CODE_LEN), jnp.uint8),
-        jnp.full((B,), max_iter, jnp.int32),
-        jnp.zeros((B,), bool),
+        (llr * 0.0).astype(jnp.uint8)[:, : T.CODE_LEN],
+        zerof.astype(jnp.int32) + max_iter,
+        zerof.astype(bool),
     )
     _, _, vsgn, bits, iters, _ = jax.lax.while_loop(cond, body, init)
 
