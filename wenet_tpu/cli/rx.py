@@ -1,0 +1,107 @@
+"""RX pipeline CLI: IQ samples in, decoded packets/images/telemetry out.
+
+Single-process replacement for the reference's
+`rtl_sdr | fsk_demod --cu8 -s | wenet_ldpc | rx_ssdv.py` shell pipeline
+(start_rx_headless.sh:130-133) with the same side-channels (UDP 7890/55672,
+JSON logs, image directory) and fsk_demod-style flags (-b/-u estimator
+limits, --stats emission)."""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def add_args(ap: argparse.ArgumentParser):
+    ap.add_argument("input", help="IQ file path, or '-' for stdin")
+    ap.add_argument("--format", choices=["cu8", "cs16", "s16", "c64"],
+                    default="cu8", help="input sample format")
+    ap.add_argument("--mode", choices=["v1", "v2"], default="v2",
+                    help="framing mode (baud 115177 RS232 / 96000 scrambled)")
+    ap.add_argument("--fs", type=int, default=None,
+                    help="sample rate override (default: mode standard)")
+    ap.add_argument("--rs", type=int, default=None, help="baud override")
+    ap.add_argument("-b", "--est-min", type=int, default=None,
+                    help="estimator lower limit, Hz (fsk_demod -b)")
+    ap.add_argument("-u", "--est-max", type=int, default=None,
+                    help="estimator upper limit, Hz (fsk_demod -u)")
+    ap.add_argument("--image-dir", default="./rx_images")
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--partialupdate", type=int, default=0,
+                    help="decode partial image every N packets")
+    ap.add_argument("--headless", action="store_true")
+    ap.add_argument("--no-udp", action="store_true",
+                    help="disable UDP side-channel emission")
+    ap.add_argument("--stats-rate", type=float, default=1.0,
+                    help="modem stats emission rate, Hz")
+    ap.add_argument("--chunk-seconds", type=float, default=2.0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_args(ap)
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    from ..ops import fsk
+    from ..rx import stats as rxstats
+    from ..rx.pipeline import INPUT_CONVERTERS, MODE_CONFIGS, Receiver
+    from ..rx.router import PacketRouter, UDPEmitter
+
+    cfg = MODE_CONFIGS[args.mode]
+    if args.fs or args.rs:
+        cfg = fsk.FSKConfig(Fs=args.fs or cfg.Fs, Rs=args.rs or cfg.Rs)
+    limits = None
+    if args.est_min is not None or args.est_max is not None:
+        limits = (args.est_min if args.est_min is not None else cfg.est_min,
+                  args.est_max if args.est_max is not None else cfg.est_max)
+    rx = Receiver(mode=args.mode, cfg=cfg, estimator_limits=limits)
+    emitter = UDPEmitter(enabled=not args.no_udp)
+    router = PacketRouter(image_dir=args.image_dir, log_dir=args.log_dir,
+                          partial_update=args.partialupdate,
+                          headless=args.headless, emitter=emitter)
+    stats_acc = rxstats.FSKDemodStats(
+        averaging_time=max(1.0 / args.stats_rate, 0.5), peak_hold=True,
+        sample_rate=rx.cfg.Fs)
+
+    conv, dtype, width = INPUT_CONVERTERS[args.format]
+    bytes_per_sample = np.dtype(dtype).itemsize * (
+        2 if args.format in ("cu8", "cs16") else 1)
+    chunk_samples = int(rx.cfg.Fs * args.chunk_seconds)
+
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    last_stats = 0.0
+    t0 = time.time()
+    try:
+        while True:
+            raw = fin.read(chunk_samples * bytes_per_sample)
+            if not raw:
+                break
+            buf = np.frombuffer(raw, dtype=dtype)
+            for payload in rx.push(conv(buf)):
+                router.handle_packet(payload)
+            now = time.time()
+            if not args.no_udp and now - last_stats > 1.0 / args.stats_rate:
+                rec = rxstats.receiver_stats_record(rx)
+                if rec:
+                    stats_acc.update(rec)
+                    rxstats.send_modem_stats(stats_acc.to_wire())
+                last_stats = now
+    finally:
+        router.flush()
+        if fin is not sys.stdin.buffer:
+            fin.close()
+    dt = time.time() - t0
+    s = rx.stats
+    print(f"samples={s.samples} frames={s.frames} detections={s.detections} "
+          f"crc_ok={s.crc_ok} images={router.images_decoded} "
+          f"wall={dt:.2f}s ({s.samples / max(dt, 1e-9) / 1e6:.2f} Msamp/s)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,11 @@ from ..core import framing
 from ..core import ldpc_tables as T
 from . import ldpc
 
+try:
+    from .. import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 
 @dataclasses.dataclass
 class DeframeResult:
@@ -54,7 +59,8 @@ def _mode_params(mode: str):
 
 
 def uw_detect_positions(hard_bits: np.ndarray, mode: str = "v2",
-                        init_buffer: np.ndarray | None = None):
+                        init_buffer: np.ndarray | None = None,
+                        force_numpy: bool = False):
     """Exact emulation of the C acquisition gating.
 
     hard_bits: (n,) uint8 stream (bit = soft < 0, wenet_ldpc.c:176).
@@ -72,6 +78,14 @@ def uw_detect_positions(hard_bits: np.ndarray, mode: str = "v2",
         init_buffer = np.zeros(nuw, np.int8)   # bit_buffer memset, wenet_ldpc.c:172
     if n < 1:
         return np.zeros(0, np.int64), init_buffer
+
+    if not force_numpy and _native is not None and _native.available():
+        soft_pm = np.where(hard_bits > 0, -1.0, 1.0).astype(np.float32)
+        pos, final = _native.uw_detect(
+            soft_pm, np.asarray(uw, np.uint8), allowed, syms_per_packet,
+            init_buffer)
+        final = final if len(pos) else init_buffer
+        return pos, np.asarray(final, np.int8)
 
     # scores[t] = #matching window positions for the window ending at stream
     # index t, buffer preloaded with init_buffer — a single ±1 correlation

@@ -177,10 +177,15 @@ def _wrapped_cumsum(x: jnp.ndarray, mod: int, group: int = 512) -> jnp.ndarray:
     xg = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]).reshape(
         *x.shape[:-1], -1, group)
     within = jnp.cumsum(xg, axis=-1) % mod                    # <= group*mod
+
+    def shift1(a):  # exclusive shift along the last axis (no roll/scatter —
+        # the axon TPU backend stalls compiling those)
+        z = jnp.zeros_like(a[..., :1])
+        return jnp.concatenate([z, a[..., :-1]], axis=-1)
+
     totals = within[..., -1]
-    starts = jnp.cumsum(totals, axis=-1) % mod
-    starts = jnp.roll(starts, 1, axis=-1).at[..., 0].set(0)
-    excl = (jnp.roll(within, 1, axis=-1).at[..., 0].set(0) + starts[..., None]) % mod
+    starts = shift1(jnp.cumsum(totals, axis=-1) % mod)
+    excl = (shift1(within) + starts[..., None]) % mod
     return excl.reshape(*x.shape[:-1], -1)[..., :n]
 
 
