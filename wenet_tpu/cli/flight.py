@@ -1,0 +1,81 @@
+"""Flight transmitter entry: camera + GPS + packet TX wired together
+(tx/tx_picamera2_gps.py equivalent), with software substitutes for the
+flight hardware: FileCamera/SimulatedGPS by default, IQ/UDP radio sinks.
+
+Run: python -m wenet_tpu.cli.flight --images-dir DIR --out flight.c64
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--callsign", default="N0CALL")
+    ap.add_argument("--mode", choices=["v1", "v2"], default="v2")
+    ap.add_argument("--images-dir", required=True,
+                    help="directory of JPEGs for the FileCamera")
+    ap.add_argument("--out", required=True,
+                    help="IQ .c64 file or udp:host:port sink")
+    ap.add_argument("--fs", type=int, default=None)
+    ap.add_argument("--rs", type=int, default=None)
+    ap.add_argument("--duration", type=float, default=30.0,
+                    help="seconds of flight to run")
+    ap.add_argument("--gps-rate", type=float, default=1.0)
+    ap.add_argument("--tx-resolution", default="800x608")
+    args = ap.parse_args(argv)
+
+    from ..ops import fsk
+    from ..tx import IQRadio, PacketTX, UDPRadio
+    from ..tx.camera import FileCamera, SSDVCamera
+    from ..tx.gps import SimulatedGPS
+
+    cfg = fsk.V2_CONFIG if args.mode == "v2" else fsk.V1_CONFIG
+    if args.fs or args.rs:
+        cfg = fsk.FSKConfig(Fs=args.fs or cfg.Fs, Rs=args.rs or cfg.Rs)
+
+    fout = None
+    if args.out.startswith("udp:"):
+        _, host, port = args.out.split(":")
+        radio = UDPRadio(host, int(port), mode=args.mode)
+    else:
+        fout = open(args.out, "wb")
+        radio = IQRadio(lambda iq: fout.write(iq.tobytes()), cfg=cfg,
+                        mode=args.mode)
+
+    tx = PacketTX(radio, callsign=args.callsign, udp_listener=55674)
+    tx.start_tx()
+
+    # GPS telemetry per fix (tx_picamera2_gps.handle_gps_data, :114-152)
+    def on_fix(state):
+        tx.transmit_gps_telemetry(state, cam.camera.get_metadata())
+
+    gps = SimulatedGPS(callback=on_fix, rate=args.gps_rate)
+    gps.start()
+
+    w, h = (int(v) for v in args.tx_resolution.split("x"))
+    cam = SSDVCamera(FileCamera(args.images_dir), callsign=args.callsign,
+                     tx_resolution=(w, h))
+    cam.run("./tx_images", tx)
+
+    try:
+        t0 = time.time()
+        while time.time() - t0 < args.duration:
+            time.sleep(0.5)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        cam.stop()
+        gps.close()
+        tx.close()
+        if fout:
+            fout.close()
+    print(f"flight run done: {tx.packets_transmitted} packets transmitted",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

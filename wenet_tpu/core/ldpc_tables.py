@@ -87,6 +87,38 @@ def edges_flat():
 
 
 @lru_cache(maxsize=1)
+def var_edges():
+    """Var-side edge table: for each of the 2580 variables, the flat dense
+    slot indices (into the (516*14) check-edge layout) of its incident
+    edges, padded to width MAX_COL_W with a dump slot.
+
+    Lets the var->check update be a pure gather (qsum = sum of messages at
+    these slots) instead of a scatter-add — the TPU-friendly direction.
+
+    Returns:
+      slots: (CODE_LEN, MAX_COL_W) int32 indices into the flattened
+             (N_PARITY*MAX_CHECK_DEG,) message array; invalid -> dump slot
+             (== N_PARITY*MAX_CHECK_DEG, caller pads messages with one 0)
+      mask:  (CODE_LEN, MAX_COL_W) bool
+    """
+    var_idx, cmask = check_edges()
+    dump = var_idx.size
+    slots = np.full((CODE_LEN, MAX_COL_W), dump, dtype=np.int32)
+    mask = np.zeros((CODE_LEN, MAX_COL_W), dtype=bool)
+    fill = np.zeros(CODE_LEN, dtype=np.int32)
+    flat_pos = np.arange(var_idx.size, dtype=np.int32).reshape(var_idx.shape)
+    for i in range(var_idx.shape[0]):
+        for j in range(var_idx.shape[1]):
+            if cmask[i, j]:
+                v = var_idx[i, j]
+                slots[v, fill[v]] = flat_pos[i, j]
+                mask[v, fill[v]] = True
+                fill[v] += 1
+    assert fill.max() <= MAX_COL_W
+    return slots, mask
+
+
+@lru_cache(maxsize=1)
 def var_onehot_f32() -> np.ndarray:
     """(E, CODE_LEN) one-hot scatter matrix: vars = edges @ onehot.
     Dense f32 so the var-side reduction can ride the MXU."""

@@ -1,0 +1,82 @@
+"""Polyphase DFT filterbank channelizer: one wideband IQ stream -> N
+critically-sampled channels feeding parallel demods (BASELINE.json config 4
+— the wideband front-end the reference covers with per-channel rtl_sdr
+processes).
+
+Classic design: an N-phase decomposition of a windowed-sinc prototype
+lowpass, each phase filtering its decimated sub-stream, followed by an
+N-point (i)FFT across phases per output sample.  Channel k is centred at
+k*Fs/N (negative ks wrap).  All compute is a reshape + grouped conv + FFT —
+MXU/VPU-friendly, vmap-able over batches.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def prototype_lowpass(n_channels: int, taps_per_phase: int = 12,
+                      cutoff_scale: float = 1.0) -> np.ndarray:
+    """Windowed-sinc prototype for the filterbank: length N*taps_per_phase,
+    cutoff at the channel half-width."""
+    ntaps = n_channels * taps_per_phase
+    t = np.arange(ntaps) - (ntaps - 1) / 2.0
+    fc = cutoff_scale * 0.5 / n_channels          # normalized (fs=1)
+    h = 2 * fc * np.sinc(2 * fc * t)
+    h *= np.hamming(ntaps)
+    return (h / np.sum(h)).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_channels", "taps_per_phase"))
+def channelize(iq: jnp.ndarray, n_channels: int,
+               taps_per_phase: int = 12) -> jnp.ndarray:
+    """iq (n,) complex64 -> (n_channels, n//n_channels) complex64.
+
+    Channel k is the signal around centre frequency k*Fs/N, downconverted
+    to baseband and decimated by N (critically sampled).
+    """
+    N = n_channels
+    h = jnp.asarray(prototype_lowpass(N, taps_per_phase))
+    n = (iq.shape[0] // N) * N
+    x = iq[:n].reshape(-1, N)                     # (frames, N)
+    # polyphase decomposition: phase p gets taps h[p::N] over the frame axis
+    hp = h.reshape(taps_per_phase, N)             # (T, N)
+    # filter along the frame axis per phase: y[m, p] = sum_t x[m-t, p]*hp[t, p]
+    xp = jnp.pad(x, ((taps_per_phase - 1, 0), (0, 0)))
+    idx = jnp.arange(x.shape[0])[:, None] + jnp.arange(taps_per_phase)[None, :]
+    windows = xp[idx]                             # (frames, T, N)
+    y = jnp.einsum("mtp,tp->mp", windows, hp[::-1])
+    # DFT across phases -> channels (channel k centred at +k*Fs/N: the
+    # per-phase time offset +p/Fs makes the forward DFT the right convention
+    # for this phase ordering)
+    chans = jnp.fft.fft(y, axis=1)                # (frames, N)
+    return jnp.swapaxes(chans, 0, 1).astype(jnp.complex64)
+
+
+def channel_centres(Fs: int, n_channels: int) -> np.ndarray:
+    """Centre frequency of each channel (Hz), wrapping negatives."""
+    k = np.arange(n_channels)
+    f = k * Fs / n_channels
+    return np.where(f >= Fs / 2, f - Fs, f)
+
+
+def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
+                       cfg, mode: str = "v2", channels=None):
+    """Wideband capture -> per-channel packet decode.
+
+    iq at Fs_total; each channel lands at Fs_total/n_channels which must
+    equal cfg.Fs.  Returns {channel_index: list_of_payloads}.
+    """
+    from ..rx.pipeline import Receiver
+
+    if Fs_total // n_channels != cfg.Fs:
+        raise ValueError("channel rate != demod config rate")
+    ch = np.asarray(channelize(jnp.asarray(iq, jnp.complex64), n_channels))
+    out = {}
+    for k in (range(n_channels) if channels is None else channels):
+        rx = Receiver(mode=mode, cfg=cfg)
+        out[k] = rx.decode_iq(ch[k])
+    return out

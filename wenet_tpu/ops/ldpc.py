@@ -85,9 +85,12 @@ def sd_to_llr(sd: jnp.ndarray) -> jnp.ndarray:
 
 def _decoder_constants():
     var_idx, mask = T.check_edges()
+    vslots, vmask = T.var_edges()
     return (
         jnp.asarray(var_idx),                 # (516, 14) int32
         jnp.asarray(mask),                    # (516, 14) bool
+        jnp.asarray(vslots),                  # (2580, 3) int32 flat edge slots
+        jnp.asarray(vmask),                   # (2580, 3) bool
     )
 
 
@@ -103,9 +106,10 @@ def decode(llr: jnp.ndarray, max_iter: int = T.MAX_ITER):
                  C decoder's return value)
       parity_ok: (B,) bool — all 516 parity checks satisfied
     """
-    var_idx, mask = _decoder_constants()
+    var_idx, mask, vslots, vmask = _decoder_constants()
     B = llr.shape[0]
     fmask = mask.astype(llr.dtype)
+    vfmask = vmask.astype(llr.dtype)
 
     def gather_vars(values):  # (B, 2580) -> (B, 516, 14)
         return values[:, var_idx]
@@ -128,10 +132,11 @@ def decode(llr: jnp.ndarray, max_iter: int = T.MAX_ITER):
         ssum = jnp.sum(checks_ok, axis=-1)                       # (B,)
 
         # ---- Q update (var -> check), mpdecode_core.c:439-464
-        # Qi = llr + sum of incoming r at each var: scatter-add over edges.
+        # Qi = llr + sum of incoming r at each var.  Formulated as a GATHER
+        # over the per-var edge-slot table (scatter-adds serialize on TPU;
+        # gathers vectorize)
         flat_vals = (rmsg * fmask).reshape(B, -1)
-        flat_idx = var_idx.reshape(-1)
-        qsum = jnp.zeros_like(llr).at[:, flat_idx].add(flat_vals)
+        qsum = jnp.sum(flat_vals[:, vslots] * vfmask, axis=-1)
         qi = llr + qsum                                          # (B, 2580)
         new_bits = (qi < 0).astype(jnp.uint8)
 
