@@ -1,0 +1,53 @@
+"""Chunked overlap-save parallel decode == sequential decode."""
+import numpy as np
+
+from wenet_tpu.core import framing
+from wenet_tpu.ops import channel, fsk, ldpc
+from wenet_tpu.rx import pipeline
+
+CFG = fsk.FSKConfig(Fs=96000, Rs=9600)
+
+
+def _capture(n_pkts, rng, ebno=10.0):
+    payloads, bits = [], [rng.integers(0, 2, CFG.Nbits * 4).astype(np.uint8)]
+    for _ in range(n_pkts):
+        p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+        payloads.append(p)
+        bits.append(framing.frame_to_bits(
+            framing.frame_packet(p, ldpc.encode_bytes, "v2"), "v2"))
+        bits.append(rng.integers(0, 2, 200).astype(np.uint8))
+    stream = np.concatenate(bits)
+    stream = np.concatenate(
+        [stream, np.zeros((-len(stream)) % CFG.Nbits, np.uint8)])
+    sig, _ = fsk.fsk_mod_np(CFG, stream, 2 * CFG.Rs, CFG.Rs)
+    return payloads, channel.add_awgn(sig.astype(np.complex64), ebno,
+                                      CFG.Fs, CFG.Rs, rng=rng)
+
+
+def test_parallel_equals_sequential():
+    rng = np.random.default_rng(60)
+    payloads, iq = _capture(12, rng)
+    seq = pipeline.Receiver(mode="v2", cfg=CFG).decode_iq(iq)
+    par = pipeline.decode_iq_parallel(iq, "v2", CFG, n_chunks=4)
+    assert par == seq
+    assert len(par) >= 11          # at most the cold-start packet lost
+
+
+def test_parallel_dedups_repeated_content():
+    """Legitimately repeated payloads must not be deduplicated."""
+    rng = np.random.default_rng(61)
+    p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+    bits = [rng.integers(0, 2, CFG.Nbits * 4).astype(np.uint8)]
+    for _ in range(6):
+        bits.append(framing.frame_to_bits(
+            framing.frame_packet(p, ldpc.encode_bytes, "v2"), "v2"))
+        bits.append(rng.integers(0, 2, 300).astype(np.uint8))
+    stream = np.concatenate(bits)
+    stream = np.concatenate(
+        [stream, np.zeros((-len(stream)) % CFG.Nbits, np.uint8)])
+    sig, _ = fsk.fsk_mod_np(CFG, stream, 2 * CFG.Rs, CFG.Rs)
+    iq = channel.add_awgn(sig.astype(np.complex64), 14.0, CFG.Fs, CFG.Rs,
+                          rng=rng)
+    par = pipeline.decode_iq_parallel(iq, "v2", CFG, n_chunks=3)
+    assert len(par) >= 5
+    assert all(x == p for x in par)

@@ -12,6 +12,7 @@ import dataclasses
 
 import numpy as np
 
+from ..core import framing
 from ..ops import deframe, fsk
 
 
@@ -41,6 +42,74 @@ class RxStats:
     @property
     def per(self) -> float:
         return (self.detections - self.crc_ok) / max(self.detections, 1)
+
+
+def decode_iq_parallel(iq: np.ndarray, mode: str = "v2",
+                       cfg: fsk.FSKConfig | None = None,
+                       n_chunks: int = 8, warmup_frames: int = 8,
+                       max_iter: int = 10):
+    """Data-parallel single-capture decode: overlap-save over the time axis.
+
+    The sequential scan demod is exact but serial; for throughput the
+    capture is split into n_chunks segments demodulated concurrently
+    (vmap — or sharded across chips by the caller), each with a halo of
+    `warmup_frames` preceding frames to converge the estimators plus one
+    packet length of overlap so every packet lies wholly inside some chunk.
+    Chunk deframes run independently; duplicate packets from the overlap
+    are deduplicated by (content, approximate global position).
+
+    This is the project's sequence-parallelism (SURVEY.md §2.3): halo
+    exchange of carried demod state replaced by recompute-from-overlap,
+    which maps better onto XLA than cross-chunk state threading.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg = MODE_CONFIGS[mode] if cfg is None else cfg
+    iq = np.asarray(iq, np.complex64)
+    n = len(iq)
+    syms_pp = (framing.V2_SYMBOLS_PER_PACKET if mode == "v2"
+               else framing.V1_SYMBOLS_PER_PACKET)
+    packet_frames = syms_pp // cfg.Nsym + 2
+    halo_frames = warmup_frames + packet_frames
+    halo = halo_frames * cfg.N
+
+    core = -(-n // n_chunks)                       # samples per chunk core
+    chunk_len = core + halo
+    starts = np.maximum(np.arange(n_chunks) * core - halo, 0)
+    # gather fixed-size chunks (pad capture at both ends)
+    buf = np.zeros(n + chunk_len, np.complex64)
+    buf[:n] = iq
+    chunks = np.stack([buf[s:s + chunk_len] for s in starts])
+
+    nf = cfg.num_frames(chunk_len)
+    vdemod = jax.jit(jax.vmap(lambda x: fsk.demod_stream(cfg, x, nf)[1]),
+                     static_argnums=())
+    outs = jax.tree.map(np.asarray, vdemod(jnp.asarray(chunks)))
+
+    results = []
+    for k in range(n_chunks):
+        valid = outs.valid[k]
+        # drop warmup output for chunks with a preceding halo
+        skip = warmup_frames if starts[k] > 0 else 0
+        soft = outs.soft[k][valid][skip:].reshape(-1)
+        res = deframe.deframe_soft(soft, mode, max_iter)
+        base_bit = starts[k] // cfg.Ts + skip * cfg.Nsym
+        for i, ok in enumerate(res.crc_ok):
+            if ok:
+                results.append((base_bit + int(res.positions[i]),
+                                res.packets_raw[i, :256].tobytes()))
+
+    # dedup: same content within one packet-length of global bit position
+    results.sort(key=lambda x: x[0])
+    payloads, last_pos = [], {}
+    for pos, payload in results:
+        if payload in last_pos and pos - last_pos[payload] < syms_pp:
+            last_pos[payload] = pos
+            continue
+        last_pos[payload] = pos
+        payloads.append(payload)
+    return payloads
 
 
 class Receiver:
