@@ -44,8 +44,6 @@ def main(argv=None):
     add_args(ap)
     args = ap.parse_args(argv)
 
-    import dataclasses
-
     from ..ops import fsk
     from ..rx import stats as rxstats
     from ..rx.pipeline import INPUT_CONVERTERS, MODE_CONFIGS, Receiver

@@ -33,8 +33,6 @@ def main(argv=None):
     add_args(ap)
     args = ap.parse_args(argv)
 
-    import numpy as np
-
     from .. import ssdv
     from ..ops import fsk
     from ..tx import BinaryDebugRadio, IQRadio, PacketTX, UDPRadio

@@ -290,7 +290,8 @@ def _freq_est_step(cfg: FSKConfig, fft_est, new_samps, nin, hann):
     return fft_est, freqs
 
 
-def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann):
+def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann,
+                 with_probe: bool = False):
     """Demodulate one frame (fsk2_demod, fsk.c:679-1108), pure-functional.
 
     stream: (Nmem,) complex64 = the reference's [samp_old tail | fsk_in]
@@ -389,7 +390,30 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann):
     out = FrameOut(soft=soft, bits=bits, valid=jnp.bool_(True), f_est=f_new,
                    ebno_db=ebno_db, norm_rx_timing=norm_rx_timing, ppm=ppm,
                    nin=nin)
+    if with_probe:
+        return new_state, out, {"f_int": f_int, "rx_timing": rx_timing,
+                                "high_sample": high}
     return new_state, out
+
+
+def eye_diagram(f_int: np.ndarray, P: int, high_sample: int, M: int,
+                max_ind: int = 160, et_max: int = 8,
+                normalise: bool = True) -> np.ndarray:
+    """Eye-diagram traces from the integrator outputs (fsk.c:1031-1079):
+    per tone, `et_max/M` two-symbol windows of |f_int| centred on the
+    timing estimate, decimated to fit max_ind samples, normalised to 1."""
+    neyesamp_dec = int(np.ceil(2 * P / max_ind))
+    neyesamp = (2 * P) // neyesamp_dec
+    offset = int(high_sample) + 1
+    traces = et_max // M
+    eye = np.zeros((traces * M, neyesamp), np.float32)
+    for i in range(traces):
+        for m in range(M):
+            idx = 2 * P * i + offset + np.arange(neyesamp) * neyesamp_dec
+            eye[i * M + m] = np.abs(f_int[m, idx])
+    if normalise and eye.max() > 0:
+        eye = eye / eye.max()
+    return eye
 
 
 # ------------------------------------------------------------ stream driver

@@ -108,7 +108,6 @@ class FSKDemodStats:
 def receiver_stats_record(rx) -> dict:
     """Build an fsk_demod-compatible stats record from a live Receiver
     (the `--stats` JSON of fsk_demod.c:345-401, minus the eye diagram)."""
-    import jax
     st = rx.state
     if st is None:
         return {}

@@ -38,14 +38,30 @@ pre{background:#222;padding:.5em;overflow-x:auto}
 <span class=stat>Position: <b id=pos>-</b></span>
 <span class=stat>Alt: <b id=alt>-</b> m</span></div>
 <p><img id=img src="latest.jpg" onerror="this.style.display='none'"></p>
+<h3>Spectrum</h3><canvas id=spec width=640 height=120
+ style="background:#000;width:100%%"></canvas>
 <h3>Telemetry</h3><pre id=log></pre>
 <script>
+function drawSpec(db) {
+  const cv = document.getElementById('spec'), cx = cv.getContext('2d');
+  cx.clearRect(0,0,cv.width,cv.height);
+  if (!db || !db.length) return;
+  const mn = Math.min(...db), mx = Math.max(...db) + 1e-6;
+  cx.strokeStyle = '#4cf'; cx.beginPath();
+  db.forEach((v,i) => {
+    const x = i/(db.length-1)*cv.width;
+    const y = cv.height - (v-mn)/(mx-mn)*cv.height;
+    i ? cx.lineTo(x,y) : cx.moveTo(x,y);
+  });
+  cx.stroke();
+}
 const es = new EventSource('events');
 es.onmessage = (e) => {
   const d = JSON.parse(e.data);
   if (d.type === 'MODEM_STATS') {
     document.getElementById('snr').textContent = d.snr.toFixed(1);
     document.getElementById('ppm').textContent = d.ppm.toFixed(0);
+    drawSpec(d.fft_db);
   } else if (d.type === 'IMAGE') {
     const im = document.getElementById('img');
     im.style.display=''; im.src = 'latest.jpg?t=' + Date.now();

@@ -42,7 +42,8 @@ def probe_demod(cfg, iq: np.ndarray, num_frames: int | None = None) -> dict:
             buf, (pad_front + st.pos - nold,), (cfg.Nmem,))
         new_blocks = jax.lax.dynamic_slice(
             buf, (pad_front + st.pos,), (cfg.Ndft * cfg.max_fft_blocks,))
-        nst, out = fsk._demod_frame(cfg, st, stream, new_blocks, hann)
+        nst, out, extra = fsk._demod_frame(cfg, st, stream, new_blocks, hann,
+                                           with_probe=True)
         nst = jax.tree.map(lambda a, b: jnp.where(valid, a, b), nst, st)
         trace = {
             "t_fft_est": nst.fft_est,
@@ -51,6 +52,9 @@ def probe_demod(cfg, iq: np.ndarray, num_frames: int | None = None) -> dict:
             "t_nin": out.nin,
             "t_EbNodB": out.ebno_db,
             "t_ppm": out.ppm,
+            "t_f_int": extra["f_int"],
+            "t_rx_timing": extra["rx_timing"],
+            "t_high_sample": extra["high_sample"],
             "rx_sd": out.soft,
             "rx_bits": out.bits,
             "valid": valid,
@@ -59,6 +63,17 @@ def probe_demod(cfg, iq: np.ndarray, num_frames: int | None = None) -> dict:
 
     _, traces = jax.lax.scan(step, fsk.demod_init(cfg), None, length=nf)
     return {k: np.asarray(v) for k, v in traces.items()}
+
+
+def eye_traces(cfg, traces: dict, frame: int = -1) -> np.ndarray:
+    """Eye diagram for one probed frame (fsk_demod stats JSON
+    'eye_diagram' field)."""
+    from ..ops import fsk
+
+    valid = np.flatnonzero(traces["valid"])
+    f = valid[frame]
+    return fsk.eye_diagram(traces["t_f_int"][f], cfg.P,
+                           traces["t_high_sample"][f], cfg.M)
 
 
 def save_npz(path: str, traces: dict) -> None:
