@@ -37,6 +37,8 @@ def add_args(ap: argparse.ArgumentParser):
     ap.add_argument("--stats-rate", type=float, default=1.0,
                     help="modem stats emission rate, Hz")
     ap.add_argument("--chunk-seconds", type=float, default=2.0)
+    ap.add_argument("--throttle", action="store_true",
+                    help="pace file input at real time (rx/play_iq.py role)")
 
 
 def main(argv=None):
@@ -73,11 +75,17 @@ def main(argv=None):
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     last_stats = 0.0
     t0 = time.time()
+    next_deadline = t0
     try:
         while True:
             raw = fin.read(chunk_samples * bytes_per_sample)
             if not raw:
                 break
+            if args.throttle:
+                next_deadline += args.chunk_seconds
+                delay = next_deadline - time.time()
+                if delay > 0:
+                    time.sleep(delay)
             buf = np.frombuffer(raw, dtype=dtype)
             for payload in rx.push(conv(buf)):
                 router.handle_packet(payload)

@@ -59,7 +59,10 @@ class SSDVCamera:
     def __init__(self, camera, callsign: str = "N0CALL",
                  tx_resolution=(800, 608), num_images: int = 1,
                  temp_filename_prefix: str = "picam_temp",
-                 quality: int = 6, overlay_fn=None):
+                 quality: int = 6, overlay_fn=None, telemetry_cb=None):
+        """telemetry_cb(image_id): invoked as each image is queued — the
+        hook tx_picamera2_gps uses to send 0x54 image-telemetry packets."""
+        self.telemetry_cb = telemetry_cb
         self.camera = camera
         self.callsign = callsign
         self.tx_resolution = tx_resolution
@@ -137,6 +140,11 @@ class SSDVCamera:
             while not tx.image_queue_empty() and self.auto_capture_running:
                 time.sleep(0.1)
             tx.queue_image_file(ssdv_file)
+            if self.telemetry_cb:
+                try:
+                    self.telemetry_cb((self.image_id - 1) % 256)
+                except Exception:
+                    logger.exception("image telemetry callback failed")
             if delay:
                 time.sleep(delay)
 
