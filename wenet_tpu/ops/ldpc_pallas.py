@@ -34,7 +34,7 @@ CHECKS_P = 528            # 516 padded (33 sublane groups of 16)
 SLOTS = 16                # 14 edge slots padded
 EDGES_P = CHECKS_P * SLOTS            # 8448 = 66 * 128
 VARS_P = 2688             # 2580 padded (21 * 128)
-TILE = 192                # one-hot streaming tile rows (divides 2688 and 8448)
+TILE = 96                 # one-hot streaming tile rows (divides 2688 and 8448)
 
 
 @lru_cache(maxsize=1)
@@ -69,17 +69,30 @@ def _bp_kernel(llr_ref, mask_ref, scat_ref, scat_t_ref,
     fmask = mask_ref[:].reshape(1, CHECKS_P, SLOTS)
 
     def matmul_stream(x, mat_ref, out_cols, scratch, sem):
-        """x (Bt, K) @ HBM mat (K, out_cols), streaming K in TILE-row DMAs."""
+        """x (Bt, K) @ HBM mat (K, out_cols): K streamed in TILE-row DMAs,
+        double-buffered so the next tile transfers while the MXU contracts
+        the current one (pallas guide double-buffering pattern)."""
         K = x.shape[1]
         n_tiles = K // TILE
 
+        def dma(slot, i):
+            return pltpu.make_async_copy(
+                mat_ref.at[pl.ds(i * TILE, TILE), :], scratch.at[slot],
+                sem.at[slot])
+
+        dma(0, 0).start()
+
         def step(i, acc):
-            dma = pltpu.make_async_copy(
-                mat_ref.at[pl.ds(i * TILE, TILE), :], scratch, sem)
-            dma.start()
-            dma.wait()
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_tiles)
+            def _():
+                dma(nxt, i + 1).start()
+
+            dma(slot, i).wait()
             xt = jax.lax.dynamic_slice(x, (0, i * TILE), (Bt, TILE))
-            return acc + jnp.dot(xt, scratch[:],
+            return acc + jnp.dot(xt, scratch[slot],
                                  preferred_element_type=jnp.float32)
         return jax.lax.fori_loop(
             0, n_tiles, step, jnp.zeros((Bt, out_cols), jnp.float32))
@@ -142,16 +155,16 @@ def _bp_kernel(llr_ref, mask_ref, scat_ref, scat_t_ref,
 
     pl.run_scoped(
         run,
-        pltpu.VMEM((TILE, VARS_P), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
-        pltpu.VMEM((TILE, EDGES_P), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((2, TILE, VARS_P), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((2, TILE, EDGES_P), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
     )
 
 
 @partial(jax.jit, static_argnames=("max_iter", "batch_tile", "interpret"))
 def decode_pallas(llr: jnp.ndarray, max_iter: int = 10,
-                  batch_tile: int = 64, interpret: bool = False):
+                  batch_tile: int = 32, interpret: bool = False):
     """Pallas BP decode. llr (B, 2580) f32 -> (bits (B,2580) uint8,
     iters (B,), parity_ok (B,)). Output-parity with ops/ldpc.decode."""
     mask_f, scat = _tables()
