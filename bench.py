@@ -140,6 +140,8 @@ if __name__ == "__main__":
                      daemon=True).start()
     try:
         main()
+    except Exception as e:                      # tunnelled-TPU flakiness:
+        RESULTS["error"] = repr(e)[:160]        # report what was measured
     finally:
         DONE.set()
         emit(final=True)

@@ -1,0 +1,102 @@
+"""13-image corpus end-to-end run (BASELINE.json config 3): every reference
+test image through SSDV -> TX framing -> v2-rate modulation -> AWGN ->
+full RX chain -> SSDV reassembly, with payload-level comparison against the
+reference C chain (fsk_demod | wenet_ldpc) on the same cu8 bytes.
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/corpus_e2e.py
+"""
+import glob
+import io
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+from wenet_tpu import ssdv                                   # noqa: E402
+from wenet_tpu.core import framing                           # noqa: E402
+from wenet_tpu.ops import channel, fsk, ldpc                 # noqa: E402
+from wenet_tpu.rx.pipeline import Receiver                   # noqa: E402
+import refbins                                               # noqa: E402
+
+
+def main(ebno=12.0, resolution=(800, 608)):
+    cfg = fsk.V2_CONFIG            # real flight rates: Fs=960000, Rs=96000
+    images = sorted(glob.glob("/root/reference/test_images/*.jpg"),
+                    key=lambda p: int(os.path.basename(p).split(".")[0]))
+    use_ref = refbins.reference_available()
+    demod_bin = refbins.fsk_demod() if use_ref else None
+    ldpc_bin = refbins.wenet_ldpc() if use_ref else None
+
+    total_t, total_samples, exact = 0.0, 0, 0
+    rows = []
+    for img_path in images:
+        name = os.path.basename(img_path)
+        img = Image.open(img_path).convert("RGB").resize(resolution)
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=90)
+        pkts = ssdv.encode(buf.getvalue(), "VK5QI",
+                           int(name.split(".")[0]) % 256)
+        rng = np.random.default_rng(hash(name) % 2**32)
+        bits = [rng.integers(0, 2, cfg.Nbits * 4).astype(np.uint8)]
+        for p in pkts:
+            frame = framing.frame_packet(p, ldpc.encode_bytes, "v2")
+            bits.append(framing.frame_to_bits(frame, "v2"))
+        stream = np.concatenate(bits)
+        stream = np.concatenate(
+            [stream, np.zeros((-len(stream)) % cfg.Nbits, np.uint8)])
+        sig, _ = fsk.fsk_mod_np(cfg, stream, 2 * cfg.Rs, cfg.Rs)
+        iq = channel.add_awgn(sig.astype(np.complex64), ebno, cfg.Fs, cfg.Rs,
+                              rng=rng)
+        # pad all captures to one length so the jitted demod compiles once
+        pad_len = 10_000_000
+        if len(iq) < pad_len:
+            iq = np.concatenate(
+                [iq, np.zeros(pad_len - len(iq), np.complex64)])
+        raw = fsk.iq_to_cu8(iq)
+
+        rx = Receiver(mode="v2", cfg=cfg)
+        t0 = time.time()
+        ours = rx.decode_iq(fsk.iq_from_cu8(raw))
+        dt = time.time() - t0
+        total_t += dt
+        total_samples += len(iq)
+
+        ref_n = "-"
+        match = "-"
+        if use_ref:
+            p1 = subprocess.run(
+                [demod_bin, "--cu8", "-s", "2", str(cfg.Fs), str(cfg.Rs),
+                 "-", "-"], input=raw.tobytes(), capture_output=True)
+            p2 = subprocess.run([ldpc_bin, "-", "-"], input=p1.stdout,
+                                capture_output=True)
+            ref = [p2.stdout[i:i + 256] for i in range(0, len(p2.stdout), 256)]
+            ref_n = len(ref)
+            match = "EXACT" if ours == ref else \
+                f"{sum(1 for p in ours if p in ref)}/{len(ref)}"
+            if ours == ref:
+                exact += 1
+        # reassemble the image
+        jpeg = ssdv.decode(ours)
+        a1 = np.asarray(Image.open(buf), np.float32)
+        a2 = np.asarray(Image.open(io.BytesIO(jpeg)), np.float32)
+        pix = float(np.abs(a1 - a2).mean())
+        rows.append((name, len(pkts), len(ours), ref_n, match, pix, dt))
+        print(f"{name:>7} pkts={len(pkts):>3} decoded={len(ours):>3} "
+              f"ref={ref_n:>3} parity={match:>6} pixdiff={pix:5.2f} "
+              f"t={dt:4.1f}s", flush=True)
+
+    rt = total_samples / cfg.Fs / total_t
+    print(f"\nTotal: {len(images)} images, {total_samples / 1e6:.0f} Msamples "
+          f"decoded in {total_t:.1f}s = {rt:.1f}x real-time single-stream; "
+          f"{exact}/{len(images)} byte-exact vs the C chain")
+
+
+if __name__ == "__main__":
+    main()
