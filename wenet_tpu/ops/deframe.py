@@ -168,7 +168,13 @@ def decode_candidates(soft: np.ndarray, positions: np.ndarray, mode: str = "v2",
         sd = stripped[:, : T.CODE_LEN]
 
     llr = np.asarray(ldpc.sd_to_llr(jnp.asarray(sd, jnp.float32)))
+    # bucket the batch so repeated deframes reuse one compiled decoder
+    Bp = 1 << max(int(np.ceil(np.log2(B))), 2)
+    if Bp != B:
+        llr = np.concatenate(
+            [llr, np.tile(llr[-1:], (Bp - B, 1))], axis=0)
     bits, iters, _ = ldpc.decode_np(llr, max_iter=max_iter)
+    bits, iters = bits[:B], iters[:B]
 
     pbytes = np.packbits(bits[:, : (256 + 2) * 8], axis=1)   # MSB-first pack
     rx_crc = framing.crc16_ccitt_batch(pbytes[:, :256])

@@ -47,7 +47,7 @@ class RxStats:
 def decode_iq_parallel(iq: np.ndarray, mode: str = "v2",
                        cfg: fsk.FSKConfig | None = None,
                        n_chunks: int = 8, warmup_frames: int = 8,
-                       max_iter: int = 10):
+                       max_iter: int = 10, mesh=None):
     """Data-parallel single-capture decode: overlap-save over the time axis.
 
     The sequential scan demod is exact but serial; for throughput the
@@ -85,7 +85,15 @@ def decode_iq_parallel(iq: np.ndarray, mode: str = "v2",
     nf = cfg.num_frames(chunk_len)
     vdemod = jax.jit(jax.vmap(lambda x: fsk.demod_stream(cfg, x, nf)[1]),
                      static_argnums=())
-    outs = jax.tree.map(np.asarray, vdemod(jnp.asarray(chunks)))
+    chunks_j = jnp.asarray(chunks)
+    if mesh is not None:
+        # shard the chunk axis over the mesh: each device demodulates its
+        # chunks concurrently (multi-chip on TPU, multi-core on a virtual
+        # CPU mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        chunks_j = jax.device_put(chunks_j, NamedSharding(mesh, P(axis)))
+    outs = jax.tree.map(np.asarray, vdemod(chunks_j))
 
     results = []
     for k in range(n_chunks):
