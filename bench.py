@@ -25,7 +25,7 @@ BASELINE_MSPS = 7.3
 DONE = threading.Event()
 
 
-def emit(final=False):
+def emit():
     chain = RESULTS.get("full_chain_msps")
     out = {
         "metric": "full_chain_iq_throughput" if chain else "ldpc_decode_rate",
@@ -144,4 +144,4 @@ if __name__ == "__main__":
         RESULTS["error"] = repr(e)[:160]        # report what was measured
     finally:
         DONE.set()
-        emit(final=True)
+        emit()

@@ -177,7 +177,7 @@ def decode_pallas(llr: jnp.ndarray, max_iter: int = 10,
     mask_j = jnp.asarray(mask_f, jnp.float32)
 
     grid = Bp // batch_tile
-    bits_p, iters_p, conv_p = pl.pallas_call(
+    bits_p, iters_p, _conv_p = pl.pallas_call(
         partial(_bp_kernel, max_iter=max_iter),
         grid=(grid,),
         in_specs=[

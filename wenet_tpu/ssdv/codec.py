@@ -92,18 +92,6 @@ def _requantize(img: J.JpegImage, quality_idx: int) -> J.JpegImage:
 # ----------------------------------------------------------------- encode
 
 
-def _encode_mcu_bits(img: J.JpegImage, m: int, preds: list) -> tuple:
-    bw = J.BitWriter()
-    bcomp = img.block_component()
-    for b in range(img.blocks_per_mcu):
-        ci = bcomp[b]
-        dc = J.ENC_DC_LUM if ci == 0 else J.ENC_DC_CHR
-        ac = J.ENC_AC_LUM if ci == 0 else J.ENC_AC_CHR
-        preds[ci] = J.encode_block(bw, img.mcus[m, b], dc, ac, preds[ci])
-    nbits = bw.bit_length()
-    return bw.flush(fill=1), nbits
-
-
 def encode(jpeg_bytes: bytes, callsign: str = "N0CALL", image_id: int = 0,
            quality: int = 6) -> list:
     """JPEG -> list of 256-byte SSDV packets."""

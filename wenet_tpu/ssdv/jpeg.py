@@ -312,7 +312,6 @@ def parse_jpeg(data: bytes) -> JpegImage:
     height = 0
     restart = 0
     scan_data = None
-    scan_order = None
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -365,7 +364,6 @@ def parse_jpeg(data: bytes) -> JpegImage:
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                    # SOS
             n = seg[0]
-            scan_order = []
             for i in range(n):
                 cs, tdta = seg[1 + 2 * i: 3 + 2 * i]
                 for c in comps:
