@@ -51,6 +51,7 @@ def main():
     from wenet_tpu.core import framing
     from wenet_tpu.ops import fsk, ldpc
     from wenet_tpu.parallel import sweep
+    from wenet_tpu.utils.rng import prng_key
 
     dev = jax.devices()[0]
     RESULTS["platform"] = dev.platform
@@ -118,14 +119,14 @@ def main():
             return outs.soft
         return jax.vmap(one)(keys, ebno_db)
 
-    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    keys = jax.random.split(prng_key(1), B)
     t0 = time.perf_counter()
     soft = chain(keys, ebnos)
     soft.block_until_ready()
     RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     for r in range(reps):
-        soft = chain(jax.random.split(jax.random.PRNGKey(2 + r), B), ebnos)
+        soft = chain(jax.random.split(prng_key(2 + r), B), ebnos)
     soft.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     msps = B * len(sig) / dt / 1e6

@@ -332,7 +332,7 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann,
     # length Ts at stride Ts/P via cumsum differences
     csum = jnp.cumsum(d, axis=-1)
     csum = jnp.concatenate([jnp.zeros((M, 1), csum.dtype), csum], axis=-1)
-    starts = np.arange((Nsym + 1) * P) * S                     # static
+    starts = np.arange((Nsym + 1) * P, dtype=np.int32) * S     # static
     f_int = csum[:, starts + Ts] - csum[:, starts]             # (M, (Nsym+1)P)
 
     # --- fine timing: magic spectral line at Rs (fsk.c:857-884)

@@ -16,6 +16,7 @@ from jax.sharding import PartitionSpec as P
 from ..core import framing
 from ..ops import crc as dcrc
 from ..ops import fsk, ldpc
+from ..utils.rng import prng_key
 
 
 # ------------------------------------------------------------- LDPC-only MC
@@ -50,7 +51,7 @@ def ldpc_ber_sweep(ebno_grid, n_cw_per_point: int, key=None, mesh=None,
 
     Returns dict of numpy arrays: ebno, ber, fer, mean_iters.
     """
-    key = jax.random.PRNGKey(0) if key is None else key
+    key = prng_key(0) if key is None else key
     ebno_grid = np.atleast_1d(np.asarray(ebno_grid, np.float32))
     keys = jax.random.split(key, len(ebno_grid))
 
@@ -144,7 +145,7 @@ def chain_per_sweep(cfg: fsk.FSKConfig, ebno_grid, trials_per_point: int,
     Reproduces the shape of benchmarking/test_demod.py's curve (PER cliff
     near 8.5 dB for the real code) with zero external binaries.
     """
-    key = jax.random.PRNGKey(42) if key is None else key
+    key = prng_key(42) if key is None else key
     payload = bytes(range(256)) if payload is None else payload
     sig, var = make_single_packet_stream(cfg, payload, mode)
     sig_j = jnp.asarray(sig)
