@@ -277,16 +277,23 @@ def _freq_est_step(cfg: FSKConfig, fft_est, new_samps, nin, hann):
         upd = fft_est * (1 - tc) + mag * tc
         fft_est = jnp.where(j < n_blocks, upd, fft_est)
 
-    # M peak picks with blanking (fsk.c:633-654) on a copy
+    # M peak picks with blanking (fsk.c:633-654) on a copy.  First-max index
+    # built from max + min reductions (identical to argmax's first-occurrence
+    # semantics; avoids arg* primitives some TPU backends lack)
     work = fft_est
+    off = jnp.arange(half)
     peaks = []
     for _ in range(cfg.M):
-        imax = jnp.argmax(work)
+        imax = jnp.min(jnp.where(work >= jnp.max(work), off, half))
         peaks.append(imax)
-        off = jnp.arange(half)
         blank = (off >= imax - cfg.f_zero_bins) & (off < imax + cfg.f_zero_bins)
         work = jnp.where(blank, 0.0, work)
-    freqs = jnp.sort(jnp.stack(peaks)).astype(jnp.float32) * (cfg.Fs / Ndft)
+    if cfg.M == 2:
+        lo = jnp.minimum(peaks[0], peaks[1])
+        hi = jnp.maximum(peaks[0], peaks[1])
+        freqs = jnp.stack([lo, hi]).astype(jnp.float32) * (cfg.Fs / Ndft)
+    else:
+        freqs = jnp.sort(jnp.stack(peaks)).astype(jnp.float32) * (cfg.Fs / Ndft)
     return fft_est, freqs
 
 
@@ -363,12 +370,14 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann,
     tv = tl * (1 - fract) + th * fract
     tmax = jnp.square(tv.real) + jnp.square(tv.imag)           # (M, Nsym)
 
-    sym = jnp.argmax(tmax, axis=0)                             # first-max wins
     if M == 2:
-        bits = (sym == 1).astype(jnp.uint8)
+        # C decision: sym=1 iff tmax[1] > tmax[0] (ties -> 0, first-max)
+        bits = (tmax[1] > tmax[0]).astype(jnp.uint8)
+        sym = bits.astype(jnp.int32)
         mags = jnp.sqrt(tmax)
         soft = mags[0] - mags[1]
     else:
+        sym = jnp.argmax(tmax, axis=0)                         # first-max wins
         bits = jnp.stack([(sym >> 1) & 1, sym & 1], axis=-1).reshape(-1).astype(jnp.uint8)
         mags = jnp.sqrt(tmax)
         s1 = -mags[0] + mags[1] - mags[2] + mags[3]

@@ -120,9 +120,12 @@ def _uw_window_decode(cfg, soft, mode: str, max_iter: int):
     # scores[s] = correlation of the window starting at s with the UW
     scores = jnp.correlate(hard_pm, kern, mode="valid")
     # need the full packet window [t+1, t+syms] in-stream (t = s + nuw - 1)
-    scores = jnp.where(jnp.arange(scores.shape[0]) <= n - syms - nuw,
-                       scores, -1e9)
-    t = jnp.argmax(scores) + nuw - 1
+    idx = jnp.arange(scores.shape[0])
+    scores = jnp.where(idx <= n - syms - nuw, scores, -1e9)
+    # first-max index without arg* primitives (backend portability)
+    s_first = jnp.min(jnp.where(scores >= jnp.max(scores), idx,
+                                scores.shape[0]))
+    t = s_first + nuw - 1
     win = jax.lax.dynamic_slice(soft, (t + 1,), (syms,))
     if mode == "v2":
         code = jnp.asarray(np.resize(framing.SCRAMBLE_PM1, syms))
