@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import compat
+
 TWO_PI = 2.0 * np.pi
 
 
@@ -346,7 +348,7 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann,
     ft1 = jnp.sum(jnp.square(f_int.real) + jnp.square(f_int.imag), axis=0)
     spin = jnp.exp(1j * (TWO_PI / P) * jnp.arange((Nsym + 1) * P))
     t_c = jnp.sum(ft1.astype(jnp.complex64) * spin.astype(jnp.complex64))
-    norm_rx_timing = jnp.arctan2(t_c.imag, t_c.real) / np.float32(TWO_PI)
+    norm_rx_timing = compat.atan2(t_c.imag, t_c.real) / np.float32(TWO_PI)
     rx_timing = norm_rx_timing * P
 
     # clock-offset ppm IIR, gated on jumps (fsk.c:886-896)
@@ -360,13 +362,21 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann,
         norm_rx_timing > 0.25, cfg.N + Ts // 2,
         jnp.where(norm_rx_timing < -0.25, cfg.N - Ts // 2, cfg.N)).astype(jnp.int32)
 
-    # --- symbol sampling with linear interpolation (fsk.c:912-981)
-    low = jnp.floor(rx_timing).astype(jnp.int32)
+    # --- symbol sampling with linear interpolation (fsk.c:912-981).
+    # rx_timing lies in (-P/2, P/2]; floor/ceil and the timing-offset gather
+    # are built from comparisons + static shifts (backend portability, and
+    # static gathers vectorize better than dynamic takes anyway)
+    k_lo, k_hi = -(P // 2) - 1, P // 2 + 1
+    low = compat.floor_int(rx_timing, k_lo, k_hi)
     fract = rx_timing - low.astype(jnp.float32)
-    high = jnp.ceil(rx_timing).astype(jnp.int32)
-    st = (jnp.arange(Nsym, dtype=jnp.int32) + 1) * P
-    tl = jnp.take(f_int, st + low, axis=1)                     # (M, Nsym)
-    th = jnp.take(f_int, st + high, axis=1)
+    high = low + (fract > 0).astype(jnp.int32)                 # == ceil
+    st = (np.arange(Nsym, dtype=np.int32) + 1) * P             # static
+    tl = jnp.zeros((M, Nsym), jnp.complex64)
+    th = jnp.zeros((M, Nsym), jnp.complex64)
+    for k in range(k_lo, k_hi + 1):
+        sel = f_int[:, st + k]
+        tl = tl + jnp.where(low == k, 1.0, 0.0) * sel
+        th = th + jnp.where(high == k, 1.0, 0.0) * sel
     tv = tl * (1 - fract) + th * fract
     tmax = jnp.square(tv.real) + jnp.square(tv.imag)           # (M, Nsym)
 

