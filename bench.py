@@ -77,17 +77,20 @@ def main():
         nB * reps / (time.perf_counter() - t0), 0)
 
     if os.environ.get("WENET_BENCH_PALLAS") == "1":
-        from wenet_tpu.ops import ldpc_pallas
-        t0 = time.perf_counter()
-        b, _, _ = ldpc_pallas.decode_pallas(llr, batch_tile=64)
-        b.block_until_ready()
-        RESULTS["pallas_compile_s"] = round(time.perf_counter() - t0, 1)
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        try:
+            from wenet_tpu.ops import ldpc_pallas
+            t0 = time.perf_counter()
             b, _, _ = ldpc_pallas.decode_pallas(llr, batch_tile=64)
-        b.block_until_ready()
-        RESULTS["pallas_codewords_per_s"] = round(
-            nB * reps / (time.perf_counter() - t0), 0)
+            b.block_until_ready()
+            RESULTS["pallas_compile_s"] = round(time.perf_counter() - t0, 1)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                b, _, _ = ldpc_pallas.decode_pallas(llr, batch_tile=64)
+            b.block_until_ready()
+            RESULTS["pallas_codewords_per_s"] = round(
+                nB * reps / (time.perf_counter() - t0), 0)
+        except Exception as e:              # backend Pallas gaps: keep going
+            RESULTS["pallas_error"] = repr(e)[:160]
 
     # ---------------- stage 2: full-chain throughput (batched v2 streams)
     cfg = fsk.V2_CONFIG                      # Fs=960000, Rs=96000

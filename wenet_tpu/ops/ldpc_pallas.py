@@ -34,7 +34,8 @@ CHECKS_P = 528            # 516 padded (33 sublane groups of 16)
 SLOTS = 16                # 14 edge slots padded
 EDGES_P = CHECKS_P * SLOTS            # 8448 = 66 * 128
 VARS_P = 2688             # 2580 padded (21 * 128)
-TILE = 96                 # one-hot streaming tile rows (divides 2688 and 8448)
+TILE = 128                # one-hot streaming tile rows (divides 2688 and 8448;
+                          # lane-aligned so value slices need no relayout)
 
 
 @lru_cache(maxsize=1)
@@ -71,7 +72,10 @@ def _bp_kernel(llr_ref, mask_ref, scat_ref, scat_t_ref,
     def matmul_stream(x, mat_ref, out_cols, scratch, sem):
         """x (Bt, K) @ HBM mat (K, out_cols): K streamed in TILE-row DMAs,
         double-buffered so the next tile transfers while the MXU contracts
-        the current one (pallas guide double-buffering pattern)."""
+        the current one (pallas guide double-buffering pattern).  The tile
+        loop is unrolled at trace time: every slice offset is static and
+        lane-aligned (TILE=128), avoiding dynamic_slice inside the kernel
+        (unimplemented in some Pallas TPU lowerings)."""
         K = x.shape[1]
         n_tiles = K // TILE
 
@@ -81,21 +85,16 @@ def _bp_kernel(llr_ref, mask_ref, scat_ref, scat_t_ref,
                 sem.at[slot])
 
         dma(0, 0).start()
-
-        def step(i, acc):
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
-
-            @pl.when(i + 1 < n_tiles)
-            def _():
-                dma(nxt, i + 1).start()
-
+        acc = jnp.zeros((Bt, out_cols), jnp.float32)
+        for i in range(n_tiles):
+            slot = i % 2
+            if i + 1 < n_tiles:
+                dma(1 - slot, i + 1).start()
             dma(slot, i).wait()
-            xt = jax.lax.dynamic_slice(x, (0, i * TILE), (Bt, TILE))
-            return acc + jnp.dot(xt, scratch[slot],
-                                 preferred_element_type=jnp.float32)
-        return jax.lax.fori_loop(
-            0, n_tiles, step, jnp.zeros((Bt, out_cols), jnp.float32))
+            xt = x[:, i * TILE:(i + 1) * TILE]
+            acc = acc + jnp.dot(xt, scratch[slot],
+                                preferred_element_type=jnp.float32)
+        return acc
 
     def run(scratch_e, sem_e, scratch_v, sem_v):
         # v-side init: vmsg = phi0(|llr_e|), sign of llr_e  (edge-major)
