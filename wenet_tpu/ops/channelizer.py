@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import compat
+
 
 def prototype_lowpass(n_channels: int, taps_per_phase: int = 12,
                       cutoff_scale: float = 1.0) -> np.ndarray:
@@ -52,7 +54,7 @@ def channelize(iq: jnp.ndarray, n_channels: int,
     # DFT across phases -> channels (channel k centred at +k*Fs/N: the
     # per-phase time offset +p/Fs makes the forward DFT the right convention
     # for this phase ordering)
-    chans = jnp.fft.fft(y, axis=1)                # (frames, N)
+    chans = compat.dft(y)                         # (frames, N)
     return jnp.swapaxes(chans, 0, 1).astype(jnp.complex64)
 
 

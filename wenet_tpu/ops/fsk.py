@@ -271,7 +271,7 @@ def _freq_est_step(cfg: FSKConfig, fft_est, new_samps, nin, hann):
         # over the samples *beyond* the next block boundary (nin-(j+1)*Ndft)
         fft_samps = jnp.clip(nin - (j + 1) * Ndft, 0, Ndft)
         win = jnp.where(idx < fft_samps, hann, 0.0)
-        spec = jnp.fft.fft(blocks[j] * win)[:half]
+        spec = compat.dft(blocks[j] * win, n_out=half)
         mag2 = jnp.square(spec.real) + jnp.square(spec.imag)
         bin_i = jnp.arange(half)
         band = (bin_i >= cfg.f_min_bin) & (bin_i < cfg.f_max_bin - 1)

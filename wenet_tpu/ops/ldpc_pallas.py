@@ -11,8 +11,12 @@ iterations and expresses the two irregular reductions in MXU-native form:
     (edges x vars) streamed from HBM in 128-row tiles with double-buffered
     async DMA, contracted on the MXU (bf16 one-hot, f32 accumulation)
 
-Geometry: 516 checks x 14 slots padded to 528 x 16 = 8448 edge slots
-(= 66*128 lanes); 2580 vars padded to 2688 (= 21*128).
+Geometry: 516 checks x 14 slots padded to 16 x 528 = 8448 edge slots
+(= 66*128 lanes); 2580 vars padded to 2688 (= 21*128).  Edge tensors are
+slot-major (Bt, SLOTS, CHECKS_P): the checks axis is the lane (minor)
+axis, so a 528-wide row pads to 640 lanes (~21% waste) instead of the
+8x waste a 16-wide minor axis would suffer under (8,128) tiling; the
+check-side reduction is a sum over the 16-sublane slot axis.
 
 Reference behavior matched: phi0 clamps (mpdecode_core.c:95-123), early
 exit via convergence masking (:466-483).  Output-parity is asserted against
@@ -41,17 +45,16 @@ TILE = 128                # one-hot streaming tile rows (divides 2688 and 8448;
 @lru_cache(maxsize=1)
 def _tables():
     var_idx, mask = T.check_edges()                     # (516, 14)
-    vi = np.zeros((CHECKS_P, SLOTS), np.int32)
-    mk = np.zeros((CHECKS_P, SLOTS), bool)
-    vi[:516, :14] = var_idx
-    mk[:516, :14] = mask
+    vi = np.zeros((SLOTS, CHECKS_P), np.int32)          # slot-major
+    mk = np.zeros((SLOTS, CHECKS_P), bool)
+    vi[:14, :516] = var_idx.T
+    mk[:14, :516] = mask.T
     edge_var = vi.reshape(-1)                           # (EDGES_P,)
     edge_mask = mk.reshape(-1)
-    # one-hot edge->var scatter matrix (bf16, exact 0/1)
+    # one-hot edge->var scatter matrix (0/1: exact in bf16; MXU-native)
     scat = np.zeros((EDGES_P, VARS_P), np.float32)
     scat[np.arange(EDGES_P)[edge_mask], edge_var[edge_mask]] = 1.0
-    return (edge_mask.astype(np.float32).reshape(CHECKS_P, SLOTS),
-            scat)   # exact 0/1 f32: MXU products select values exactly
+    return edge_mask.astype(np.float32).reshape(SLOTS, CHECKS_P), scat
 
 
 def _phi0(x):
@@ -63,11 +66,11 @@ def _phi0(x):
 
 def _bp_kernel(llr_ref, mask_ref, scat_ref, scat_t_ref,
                bits_ref, iters_ref, conv_ref, max_iter: int):
-    """One batch tile. llr: (Bt, VARS_P) f32; mask: (CHECKS_P, SLOTS);
+    """One batch tile. llr: (Bt, VARS_P) f32; mask: (SLOTS, CHECKS_P) f32;
     scat: (EDGES_P, VARS_P) bf16 in HBM; scat_t: (VARS_P, EDGES_P) bf16."""
     Bt = llr_ref.shape[0]
     llr = llr_ref[:]                                    # (Bt, V)
-    fmask = mask_ref[:].reshape(1, CHECKS_P, SLOTS)
+    fmask = mask_ref[:].reshape(1, SLOTS, CHECKS_P)
 
     def matmul_stream(x, mat_ref, out_cols, scratch, sem):
         """x (Bt, K) @ HBM mat (K, out_cols): K streamed in TILE-row DMAs,
@@ -92,15 +95,15 @@ def _bp_kernel(llr_ref, mask_ref, scat_ref, scat_t_ref,
                 dma(1 - slot, i + 1).start()
             dma(slot, i).wait()
             xt = x[:, i * TILE:(i + 1) * TILE]
-            acc = acc + jnp.dot(xt, scratch[slot],
+            acc = acc + jnp.dot(xt, scratch[slot].astype(jnp.float32),
                                 preferred_element_type=jnp.float32)
         return acc
 
     def run(scratch_e, sem_e, scratch_v, sem_v):
         # v-side init: vmsg = phi0(|llr_e|), sign of llr_e  (edge-major)
         llr_e = matmul_stream(llr, scat_t_ref, EDGES_P, scratch_v, sem_v)
-        vmsg = (_phi0(jnp.abs(llr_e)).reshape(Bt, CHECKS_P, SLOTS) * fmask)
-        vsgn = jnp.where((llr_e < 0).reshape(Bt, CHECKS_P, SLOTS) & (fmask > 0),
+        vmsg = (_phi0(jnp.abs(llr_e)).reshape(Bt, SLOTS, CHECKS_P) * fmask)
+        vsgn = jnp.where((llr_e < 0).reshape(Bt, SLOTS, CHECKS_P) & (fmask > 0),
                          1.0, 0.0)
 
         state0 = (jnp.zeros((), jnp.int32),
@@ -111,12 +114,12 @@ def _bp_kernel(llr_ref, mask_ref, scat_ref, scat_t_ref,
 
         def body(state):
             it, vmsg, vsgn, qi_f, iters, conv = state
-            phi_sum = jnp.sum(vmsg, axis=-1, keepdims=True)
-            sgn_tot = jnp.sum(vsgn, axis=-1, keepdims=True) % 2.0
+            phi_sum = jnp.sum(vmsg, axis=1, keepdims=True)  # over slots
+            sgn_tot = jnp.sum(vsgn, axis=1, keepdims=True) % 2.0
             r_mag = _phi0(phi_sum - vmsg)
             r_sgn = jnp.abs(sgn_tot - vsgn) % 2.0          # xor of {0,1}
             rmsg = jnp.where(r_sgn > 0.5, -r_mag, r_mag) * fmask
-            checks_ok = sgn_tot[..., 0] < 0.5               # (Bt, CHECKS_P)
+            checks_ok = sgn_tot[:, 0, :] < 0.5              # (Bt, CHECKS_P)
             # padded rows have zero signs -> "ok"; require all 528
             ssum = jnp.sum(checks_ok.astype(jnp.float32), axis=-1)
 
@@ -126,7 +129,7 @@ def _bp_kernel(llr_ref, mask_ref, scat_ref, scat_t_ref,
             new_bits_neg = qi < 0.0
 
             q_e = matmul_stream(qi, scat_t_ref, EDGES_P, scratch_v, sem_v)
-            q_e = q_e.reshape(Bt, CHECKS_P, SLOTS) - rmsg
+            q_e = q_e.reshape(Bt, SLOTS, CHECKS_P) - rmsg
             n_vmsg = _phi0(jnp.abs(q_e)) * fmask
             n_vsgn = jnp.where((q_e <= 0.0) & (fmask > 0), 1.0, 0.0)
 
@@ -154,9 +157,9 @@ def _bp_kernel(llr_ref, mask_ref, scat_ref, scat_t_ref,
 
     pl.run_scoped(
         run,
-        pltpu.VMEM((2, TILE, VARS_P), jnp.float32),
+        pltpu.VMEM((2, TILE, VARS_P), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM((2, TILE, EDGES_P), jnp.float32),
+        pltpu.VMEM((2, TILE, EDGES_P), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -171,8 +174,8 @@ def decode_pallas(llr: jnp.ndarray, max_iter: int = 10,
     Bp = -(-B // batch_tile) * batch_tile
     llr_p = jnp.zeros((Bp, VARS_P), jnp.float32)
     llr_p = llr_p.at[:B, : T.CODE_LEN].set(llr.astype(jnp.float32))
-    scat_j = jnp.asarray(scat, jnp.float32)
-    scat_t_j = jnp.asarray(np.ascontiguousarray(scat.T), jnp.float32)
+    scat_j = jnp.asarray(scat, jnp.bfloat16)
+    scat_t_j = jnp.asarray(np.ascontiguousarray(scat.T), jnp.bfloat16)
     mask_j = jnp.asarray(mask_f, jnp.float32)
 
     grid = Bp // batch_tile
@@ -182,7 +185,7 @@ def decode_pallas(llr: jnp.ndarray, max_iter: int = 10,
         in_specs=[
             pl.BlockSpec((batch_tile, VARS_P), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHECKS_P, SLOTS), lambda i: (0, 0),
+            pl.BlockSpec((SLOTS, CHECKS_P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),      # scat stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),      # scat_t stays in HBM

@@ -9,8 +9,37 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@lru_cache(maxsize=8)
+def _dft_tables(n: int):
+    k = np.arange(n, dtype=np.float64)
+    ang = (-2.0 * np.pi / n) * np.outer(k, k % n)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def dft(x, n_out: int | None = None):
+    """Complex DFT along the last axis as two real matmuls.
+
+    XLA's FFT custom-call is unavailable on some TPU backends, and for the
+    modem's sizes (Ndft <= 1024) a dense DFT *is* the TPU-native choice:
+    it runs on the MXU instead of a scalar custom-call, batches freely, and
+    matches jnp.fft.fft to f32 roundoff.  `n_out` keeps only the first
+    n_out bins (half-spectrum callers skip half the FLOPs).
+    """
+    N = x.shape[-1]
+    C, S = _dft_tables(N)
+    if n_out is not None:
+        C, S = C[:, :n_out], S[:, :n_out]
+    Cj, Sj = jnp.asarray(C), jnp.asarray(S)
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    yr = xr @ Cj - xi @ Sj
+    yi = xr @ Sj + xi @ Cj
+    return jax.lax.complex(yr, yi)
 
 
 @lru_cache(maxsize=1)
