@@ -112,11 +112,13 @@ def main():
     ebnos = jnp.linspace(8.0, 15.0, B)
 
     @jax.jit
-    def chain(keys, ebno_db):
+    def chain(sig, keys, ebno_db):
+        # sig as an ARGUMENT: the axon backend rejects large embedded
+        # array constants (tools/tpu_bisect vmap_noise vs vmap_chain_arg)
         def one(k, e):
             nvar = var * cfg.Fs / (cfg.Rs * 10.0 ** (e / 10.0))
-            z = jax.random.normal(k, (sig_j.shape[0], 2), jnp.float32)
-            iq = sig_j + jnp.sqrt(nvar / 2) * jax.lax.complex(z[:, 0], z[:, 1])
+            z = jax.random.normal(k, (sig.shape[0], 2), jnp.float32)
+            iq = sig + jnp.sqrt(nvar / 2) * jax.lax.complex(z[:, 0], z[:, 1])
             iq = iq / jnp.max(jnp.abs(iq))
             _, outs = fsk.demod_stream(cfg, iq, nf)
             return outs.soft
@@ -124,12 +126,12 @@ def main():
 
     keys = jax.random.split(prng_key(1), B)
     t0 = time.perf_counter()
-    soft = chain(keys, ebnos)
+    soft = chain(sig_j, keys, ebnos)
     soft.block_until_ready()
     RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     for r in range(reps):
-        soft = chain(jax.random.split(prng_key(2 + r), B), ebnos)
+        soft = chain(sig_j, jax.random.split(prng_key(2 + r), B), ebnos)
     soft.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     msps = B * len(sig) / dt / 1e6

@@ -30,6 +30,8 @@ STAGES = [
     "vmap_rand",
     "vmap_dynslice",
     "vmap_demod",
+    "vmap_noise",
+    "vmap_chain_arg",
     "vmap_chain",
 ]
 
@@ -160,6 +162,30 @@ def build(stage):
         def f(x):
             return fsk.demod_stream(cfg, x, nf)[1].soft
         return lambda: jax.jit(jax.vmap(f))(iqb)
+
+    if stage == "vmap_noise":
+        @jax.jit
+        def f(keys):
+            def one(k):
+                z = jax.random.normal(k, (iq.shape[0], 2), jnp.float32)
+                x = iq + 0.1 * jax.lax.complex(z[:, 0], z[:, 1])
+                return (x / jnp.max(jnp.abs(x))).real
+            return jax.vmap(one)(keys)
+        keys = jax.random.split(prng_key(1), 4)
+        return lambda: f(keys)
+
+    if stage == "vmap_chain_arg":
+        nf = cfg.num_frames(n)
+        @jax.jit
+        def f(sig, keys):
+            def one(k):
+                z = jax.random.normal(k, (sig.shape[0], 2), jnp.float32)
+                x = sig + 0.1 * jax.lax.complex(z[:, 0], z[:, 1])
+                x = x / jnp.max(jnp.abs(x))
+                return fsk.demod_stream(cfg, x, nf)[1].soft
+            return jax.vmap(one)(keys)
+        keys = jax.random.split(prng_key(1), 4)
+        return lambda: f(iq, keys)
 
     if stage == "vmap_chain":
         nf = cfg.num_frames(n)

@@ -154,18 +154,21 @@ def chain_per_sweep(cfg: fsk.FSKConfig, ebno_grid, trials_per_point: int,
     sig_j = jnp.asarray(sig)
     nf = cfg.num_frames(len(sig))
 
-    def one_trial(k, ebno_db):
+    # sig is a jit ARGUMENT, not a closure: the axon backend rejects
+    # programs embedding large (~>1 MB) array constants (tools/tpu_bisect:
+    # vmap_noise FAILs, vmap_chain_arg PASSes)
+    def one_trial(k, ebno_db, s):
         ebno = 10.0 ** (ebno_db / 10.0)
         nvar = var * cfg.Fs / (cfg.Rs * ebno)
         z = jax.random.normal(k, (len(sig), 2), jnp.float32)
-        iq = sig_j + jnp.sqrt(nvar / 2.0) * jax.lax.complex(z[:, 0], z[:, 1])
+        iq = s + jnp.sqrt(nvar / 2.0) * jax.lax.complex(z[:, 0], z[:, 1])
         iq = iq / jnp.max(jnp.abs(iq))
         _, outs = fsk.demod_stream(cfg, iq, nf)
         soft = outs.soft.reshape(-1)
         ok, iters = _uw_window_decode(cfg, soft, mode, max_iter)
         return ok.astype(jnp.int32), iters
 
-    trial_v = jax.jit(jax.vmap(one_trial, in_axes=(0, None)))
+    trial_v = jax.jit(jax.vmap(one_trial, in_axes=(0, None, None)))
 
     ebno_grid = np.atleast_1d(np.asarray(ebno_grid, np.float32))
     pers, mean_iters = [], []
@@ -174,23 +177,24 @@ def chain_per_sweep(cfg: fsk.FSKConfig, ebno_grid, trials_per_point: int,
         trials = -(-trials_per_point // ndev) * ndev
 
         @jax.jit
-        @partial(jax.shard_map, mesh=mesh, in_specs=(P("batch"), P()),
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P("batch"), P(), P()),
                  out_specs=(P(), P()))
-        def sharded(keys, ebno):
-            ok, iters = jax.vmap(one_trial, in_axes=(0, None))(keys, ebno)
+        def sharded(keys, ebno, s):
+            ok, iters = jax.vmap(one_trial, in_axes=(0, None, None))(
+                keys, ebno, s)
             return (jax.lax.psum(jnp.sum(ok), "batch"),
                     jax.lax.psum(jnp.sum(iters), "batch"))
 
         for i, e in enumerate(ebno_grid):
             keys = jax.random.split(jax.random.fold_in(key, i), trials)
-            nok, it = sharded(keys, jnp.float32(e))
+            nok, it = sharded(keys, jnp.float32(e), sig_j)
             pers.append(1.0 - int(nok) / trials)
             mean_iters.append(int(it) / trials)
     else:
         trials = trials_per_point
         for i, e in enumerate(ebno_grid):
             keys = jax.random.split(jax.random.fold_in(key, i), trials)
-            ok, iters = trial_v(keys, jnp.float32(e))
+            ok, iters = trial_v(keys, jnp.float32(e), sig_j)
             pers.append(1.0 - float(jnp.mean(ok.astype(jnp.float32))))
             mean_iters.append(float(jnp.mean(iters.astype(jnp.float32))))
 
