@@ -108,7 +108,9 @@ def main():
     var = float(np.mean(np.abs(sig) ** 2))
     sig_j = jnp.asarray(sig.astype(np.complex64))
     nf = cfg.num_frames(len(sig))
-    B = 8
+    # B=256 saturates the chip (tools/chain_scaling.py: 3.1 GS/s @ B=8,
+    # 212 GS/s @ B>=256 -- per-dispatch tunnel latency amortizes out)
+    B = int(os.environ.get("WENET_BENCH_STREAMS", "256"))
     ebnos = jnp.linspace(8.0, 15.0, B)
 
     @jax.jit
