@@ -83,3 +83,44 @@ def test_frame_packet_layout():
     assert body[len(payload):256] == b"\x55" * (256 - len(payload))
     crc = int.from_bytes(body[256:258], "little")
     assert crc == fr.crc16_ccitt(body[:256])
+
+
+def test_habitat_legacy_sentence_and_upload():
+    """UKHAS sentence + defunct-Habitat upload API (WenetPackets.py:635-751),
+    transport injected so nothing touches the network."""
+    from wenet_tpu.core import packets as wp
+
+    gps = {"week": 2300, "iTOW": 302400.0, "leapS": 18, "latitude": -34.9,
+           "longitude": 138.6, "altitude": 12345.0, "ground_speed": 10.0,
+           "heading": 90.0, "ascent_rate": 5.0, "numSV": 9, "gpsFix": 3,
+           "dynamic_model": 6}
+    ori = {"sys_status": 0, "sys_error": 0, "sys_cal": 3, "gyro_cal": 3,
+           "accel_cal": 3, "magnet_cal": 3, "temp": 21,
+           "euler_heading": 1.0, "euler_roll": 2.0, "euler_pitch": 3.0,
+           "quaternion_x": 0.1, "quaternion_y": 0.2, "quaternion_z": 0.3,
+           "quaternion_w": 0.9}
+    pkt = wp.encode_image_telemetry(gps, ori, image_id=7,
+                                    callsign="VK5QI", count=42)
+    s = wp.image_telemetry_habitat_string(pkt)
+    assert s.startswith("$$VK5QI,42,") and s.endswith("\n") and "*" in s
+    sentence, csum = s.strip().rsplit("*", 1)
+    assert csum == wp.crc16_ccitt_hex(sentence[2:].encode("ascii"))
+
+    calls = []
+    class _Resp:
+        def __init__(self, code): self.status_code = code
+    def put(url, data, timeout):
+        calls.append((url, data))
+        return _Resp([409, 201][len(calls) - 1])   # conflict then success
+    ok, msg = wp.image_telemetry_upload(pkt, user_callsign="N0CALL", put=put)
+    assert ok and len(calls) == 2
+    assert "payload_telemetry/_update/add_listener/" in calls[0][0]
+    import json, base64
+    body = json.loads(calls[1][1])
+    assert base64.b64decode(body["data"]["_raw"]).decode() == s
+    assert "N0CALL" in body["receivers"]
+
+    def put_fail(url, data, timeout):
+        return _Resp(500)
+    ok, msg = wp.image_telemetry_upload(pkt, put=put_fail)
+    assert not ok

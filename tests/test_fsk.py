@@ -163,3 +163,49 @@ def test_demod_stream_resumable():
     joined = np.concatenate([s1, s2])
     n = min(len(joined), len(soft_all))
     np.testing.assert_allclose(joined[:n], soft_all[:n], rtol=1e-4, atol=1e-3)
+
+
+def test_mod_ext_vco_drive():
+    """VCO drive = per-sample tone frequency (fsk.c:1207-1243)."""
+    rng = np.random.default_rng(11)
+    bits = _tx_bits(rng, 2)
+    v = fsk.fsk_mod_ext_vco(CFG, bits, F1, SHIFT)
+    assert v.shape == (len(bits) * CFG.Ts,)
+    np.testing.assert_array_equal(
+        v.reshape(-1, CFG.Ts), np.repeat(
+            (F1 + SHIFT * bits.astype(np.float32))[:, None], CFG.Ts, axis=1))
+    # 4FSK: 2 bits -> one symbol
+    cfg4 = fsk.FSKConfig(Fs=96000, Rs=9600, M=4)
+    v4 = fsk.fsk_mod_ext_vco(cfg4, np.array([1, 0, 0, 1], np.uint8), F1, SHIFT)
+    assert v4.shape == (2 * cfg4.Ts,)
+    assert v4[0] == F1 + 2 * SHIFT and v4[-1] == F1 + SHIFT
+
+
+@needs_ref
+def test_4fsk_demod_matches_reference_c():
+    """4FSK soft-bit parity vs `fsk_demod --cu8 -s 4 Fs Rs` on identical
+    cu8 bytes (fsk.c:954-981 4FSK decision/soft mapping)."""
+    cfg4 = fsk.FSKConfig(Fs=96000, Rs=9600, M=4)
+    demod = refbins.fsk_demod()
+    rng = np.random.default_rng(12)
+    nframes = 60
+    bits = rng.integers(0, 2, cfg4.Nbits * nframes).astype(np.uint8)
+    sig, _ = fsk.fsk_mod_np(cfg4, bits, F1, SHIFT)
+    iq = _channel(sig, 0.08, rng)
+    raw = fsk.iq_to_cu8(iq)
+
+    proc = subprocess.run(
+        [demod, "--cu8", "-s", "4", str(cfg4.Fs), str(cfg4.Rs), "-", "-"],
+        input=raw.tobytes(), capture_output=True, check=True)
+    ref_soft = np.frombuffer(proc.stdout, np.float32)
+
+    soft, outs, _ = fsk.demod_iq_np(cfg4, fsk.iq_from_cu8(raw))
+    n = min(len(ref_soft), len(soft))
+    assert n >= (nframes - 2) * cfg4.Nbits
+    ours, ref = soft[:n], ref_soft[:n]
+    scale = np.median(np.abs(ref))
+    confident = np.abs(ref) > 0.05 * scale
+    sign_agree = np.mean(np.sign(ours[confident]) == np.sign(ref[confident]))
+    assert sign_agree > 0.995, f"sign agreement {sign_agree}"
+    rel_err = np.abs(ours - ref) / (np.abs(ref) + 0.1 * scale)
+    assert np.median(rel_err) < 0.05, f"median rel err {np.median(rel_err)}"

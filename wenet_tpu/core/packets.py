@@ -288,6 +288,75 @@ def sec_payload_decode(packet) -> dict:
         return {"error": "Could not decode secondary payload packet."}
 
 
+# ------------------------------------------------------ habitat (legacy)
+
+def crc16_ccitt_hex(data: bytes) -> str:
+    """Upper-hex CRC16/CCITT-FALSE, as the reference's crc16_ccitt
+    (WenetPackets.py:635-642) returns for UKHAS sentence checksums."""
+    from .framing import crc16_ccitt
+    return "%04X" % crc16_ccitt(data)
+
+
+def image_telemetry_habitat_string(packet) -> str:
+    """UKHAS-standard sentence for an image-telemetry packet
+    (WenetPackets.py:645-683)."""
+    d = image_telemetry_decoder(packet)
+    if d["error"] != "None":
+        return "Image Telemetry: ERROR Could not decode."
+    epoch = datetime.datetime.strptime("1980-01-06 00:00:00", "%Y-%m-%d %H:%M:%S")
+    elapsed = datetime.timedelta(days=d["week"] * 7, seconds=d["iTOW"])
+    timestamp = epoch + elapsed - datetime.timedelta(seconds=d["leapS"])
+    sentence = "$$%s,%d,%s,%.5f,%.5f,%d,%d,%d,%d,%.2f,%.2f,%.2f,%.5f,%.5f,%.5f,%.5f" % (
+        d["callsign"], d["sequence_number"], timestamp.strftime("%H:%M:%S"),
+        d["latitude"], d["longitude"], d["altitude"], d["numSV"],
+        d["image_id"], d["sys_cal"], d["euler_heading"], d["euler_roll"],
+        d["euler_pitch"], d["quaternion_x"], d["quaternion_y"],
+        d["quaternion_z"], d["quaternion_w"])
+    return sentence + "*" + crc16_ccitt_hex(sentence[2:].encode("ascii")) + "\n"
+
+
+def image_telemetry_upload(packet, user_callsign: str = "N0CALL",
+                           upload_retries: int = 5, upload_timeout: int = 10,
+                           put=None):
+    """Legacy Habitat payload_telemetry upload (WenetPackets.py:687-751).
+
+    The service is defunct; kept for API parity. `put(url, data, timeout)`
+    is injectable (returns an object with .status_code) so tests never touch
+    the network; without it, `requests.put` is used.
+    """
+    import json
+    from base64 import b64encode
+    from hashlib import sha256
+
+    sentence = image_telemetry_habitat_string(packet)
+    _b64 = b64encode(sentence.encode("ascii"))
+    _date = datetime.datetime.now(datetime.timezone.utc).replace(
+        tzinfo=None).isoformat("T") + "Z"
+    data = json.dumps({
+        "type": "payload_telemetry",
+        "data": {"_raw": _b64.decode("ascii")},
+        "receivers": {user_callsign: {"time_created": _date,
+                                      "time_uploaded": _date}},
+    })
+    url = ("http://habitat.habhub.org/habitat/_design/payload_telemetry/"
+           "_update/add_listener/%s" % sha256(_b64).hexdigest())
+    if put is None:                                        # pragma: no cover
+        import requests
+        put = lambda u, d, timeout: requests.put(u, data=d, timeout=timeout)
+    for _ in range(upload_retries):
+        try:
+            req = put(url, data, timeout=upload_timeout)
+        except Exception as e:
+            return (False, "Failed to upload to Habitat: %s" % str(e))
+        if req.status_code in (201, 403):
+            return (True, "Image Telemetry: Uploaded to Habitat Successfuly.")
+        if req.status_code != 409:      # 409 = conflict, retry; else give up
+            return (False, "Failed to upload to Habitat: status %d"
+                    % req.status_code)
+    return (False, "Failed to upload to Habitat after %d retries."
+            % upload_retries)
+
+
 # ---------------------------------------------------------------- dispatch
 
 def packet_to_string(packet) -> str:

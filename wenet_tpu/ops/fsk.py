@@ -171,6 +171,15 @@ def fsk_mod_np(cfg: FSKConfig, bits: np.ndarray, f1: int, shift: int,
     return out.reshape(-1).astype(np.complex64 if complex_out else np.float32), final
 
 
+def fsk_mod_ext_vco(cfg: FSKConfig, bits: np.ndarray, f1: int,
+                    shift: int) -> np.ndarray:
+    """Per-sample VCO drive voltage (= instantaneous tone frequency in Hz),
+    for an external-VCO transmitter: fsk_mod_ext_vco (fsk.c:1207-1243)."""
+    syms = bits_to_symbols(np.asarray(bits), cfg.M)
+    freqs = _sym_freqs(cfg, f1, shift)[syms].astype(np.float32)
+    return np.repeat(freqs, cfg.Ts)
+
+
 def _wrapped_cumsum(x: jnp.ndarray, mod: int, group: int = 512) -> jnp.ndarray:
     """Exclusive cumsum of int32 x modulo `mod`, overflow-safe via two-level
     grouping (int32 throughout — TPU-friendly)."""

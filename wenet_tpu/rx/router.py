@@ -26,7 +26,7 @@ logger = logging.getLogger("wenet_tpu.rx")
 
 
 def _utcnow():
-    return datetime.datetime.utcnow()
+    return datetime.datetime.now(datetime.timezone.utc)
 
 
 class UDPEmitter:

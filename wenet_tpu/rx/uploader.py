@@ -68,7 +68,7 @@ class SSDVUploader:
             "type": "packet",
             "packet": b64encode(packet).decode("ascii"),
             "encoding": "base64",
-            "received": datetime.datetime.utcnow().strftime(
+            "received": datetime.datetime.now(datetime.timezone.utc).strftime(
                 "%Y-%m-%dT%H:%M:%SZ"),
             "receiver": self.uploader_callsign,
         }
