@@ -33,3 +33,47 @@ def test_chain_per_sweep_sharded():
     mesh = parallel.make_mesh(8)
     r = sweep.chain_per_sweep(CFG, [20.0], trials_per_point=8, mesh=mesh)
     assert r["per"][0] == 0.0
+
+
+def test_acquisition_search_finds_offset():
+    """A capture tuned +30 kHz off (tones at 49.2/58.8 kHz: outside the
+    estimator band [2.4k, 45.6k]) is unusable by the plain demod; the
+    parallel coarse-offset search finds a candidate that locks, and mixing
+    by it yields a CRC-valid packet. vmap and mesh-sharded paths agree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wenet_tpu.ops import fsk
+    from wenet_tpu.parallel import sweep
+    from wenet_tpu.parallel.mesh import make_mesh
+
+    cfg = fsk.FSKConfig(Fs=96000, Rs=9600)
+    sig, _ = sweep.make_single_packet_stream(cfg, bytes(range(256)), "v2")
+    true_off = 30000.0
+    n = np.arange(len(sig))
+    iq = (sig * np.exp(2j * np.pi * true_off * n / cfg.Fs)).astype(np.complex64)
+    rng = np.random.default_rng(0)
+    iq = iq + (rng.normal(0, 0.05, (len(iq), 2)) @ [1, 1j]).astype(np.complex64)
+
+    grid = np.arange(-40000, 40001, 5000, np.float32)
+    best, scores = sweep.acquisition_search(cfg, iq, grid)
+    # any candidate that brings both tones back inside the estimator band
+    # can lock (off in [13.2k, 46.8k] here); the losers stay near the noise
+    # floor of a 32-bit correlation
+    assert 15000 <= best <= 40000, (best, scores)
+    assert scores.max() >= 28
+    out_of_band = scores[(grid < 13200) | (grid > 46800)]
+    assert out_of_band.max() <= scores.max() - 8
+
+    # the acquired offset is good enough for an actual decode
+    nf = cfg.num_frames(len(iq))
+    ph = np.mod(n * np.float64(best) / cfg.Fs, 1.0) * 2 * np.pi
+    mixed = (iq * np.exp(-1j * ph)).astype(np.complex64)
+    _, outs = fsk.demod_stream(cfg, jnp.asarray(mixed), nf)
+    ok, _ = sweep._uw_window_decode(cfg, outs.soft.reshape(-1), "v2", 10)
+    assert bool(ok)
+
+    mesh = make_mesh(len(jax.devices()))
+    best_m, scores_m = sweep.acquisition_search(cfg, iq, grid, mesh=mesh)
+    assert best_m == best
+    np.testing.assert_allclose(scores_m, scores, rtol=1e-5, atol=1e-4)

@@ -200,3 +200,58 @@ def chain_per_sweep(cfg: fsk.FSKConfig, ebno_grid, trials_per_point: int,
 
     return {"ebno_db": ebno_grid, "per": np.array(pers),
             "mean_iters": np.array(mean_iters), "trials": trials}
+
+
+# -------------------------------------------------- coarse acquisition search
+
+
+def acquisition_search(cfg: fsk.FSKConfig, iq, offsets_hz,
+                       mode: str = "v2", probe_frames: int | None = None,
+                       mesh=None):
+    """Coarse frequency-offset acquisition over a candidate grid.
+
+    When the capture's tones sit outside the demod estimator's band
+    [Rs/4, Fs/2-Rs/4] (fsk.c:175-180) — a wideband SDR tuned far off, the
+    start_rx.sh offset formula misapplied — the reference has no recovery
+    path short of re-tuning the SDR. Here each candidate offset is searched
+    in parallel on device: mix the capture down by the offset, scan-demod a
+    short probe span, and score the strongest UW correlation of the hard
+    bits. The offset grid is data-parallel (vmap; shard_map over a mesh axis
+    for pod-scale search — BASELINE config 5).
+
+    Returns (best_offset_hz, scores ndarray aligned with offsets_hz).
+    """
+    offsets_hz = np.atleast_1d(np.asarray(offsets_hz, np.float32))
+    nf = probe_frames or min(cfg.num_frames(len(iq)), 40)
+    npad = nf * cfg.N + cfg.Nmem + cfg.Ts
+    iq = np.asarray(iq)[:npad]
+    iq_j = jnp.asarray(iq.astype(np.complex64))
+    uw = framing.UW_BITS_V2 if mode == "v2" else framing.UW_BITS_V1
+    kern = jnp.asarray(1.0 - 2.0 * uw.astype(np.float32))
+    n = np.arange(len(iq), dtype=np.float32)
+
+    def score_one(off_hz, s):
+        # wrapped fractional phase keeps f32 exact over long probes
+        frac = jnp.mod(off_hz / cfg.Fs, 1.0)
+        ph = jnp.mod(n * frac, 1.0) * np.float32(2 * np.pi)
+        mixed = s * jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
+        _, outs = fsk.demod_stream(cfg, mixed, nf)
+        hard = jnp.where(outs.soft.reshape(-1) < 0, -1.0, 1.0)
+        return jnp.max(jnp.correlate(hard, kern, mode="valid"))
+
+    if mesh is not None:
+        ndev = mesh.devices.size
+        ngrid = -(-len(offsets_hz) // ndev) * ndev
+        grid = np.resize(offsets_hz, ngrid)
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P("batch"), P()),
+                 out_specs=P("batch"))
+        def sharded(offs, s):
+            return jax.vmap(score_one, in_axes=(0, None))(offs, s)
+
+        scores = np.asarray(sharded(jnp.asarray(grid), iq_j))[:len(offsets_hz)]
+    else:
+        scores = np.asarray(jax.jit(jax.vmap(score_one, in_axes=(0, None)))(
+            jnp.asarray(offsets_hz), iq_j))
+    return float(offsets_hz[int(np.argmax(scores))]), scores
