@@ -66,3 +66,8 @@ def test_two_channels_decode_from_wideband():
                                          channels=[2, 5])
     assert out[2] == [p1], f"ch2 got {len(out[2])} packets"
     assert out[5] == [p2], f"ch5 got {len(out[5])} packets"
+
+    # the streaming per-channel Receiver path yields identical packets
+    out_rx = channelizer.demod_multichannel(wide, FS_TOTAL, NCH, CFG,
+                                            channels=[2, 5], vectorized=False)
+    assert out_rx == out

@@ -165,3 +165,8 @@ def test_payload_summary_emit():
     assert d["type"] == "PAYLOAD_SUMMARY"
     assert d["callsign"] == "VK5QI-Wenet"
     assert d["frequency"] == round(441200500.0 / 1e6, 5)
+
+
+def test_selftest_passes():
+    from wenet_tpu.rx import selftest
+    assert selftest.run(verbose=False) == 0

@@ -66,19 +66,49 @@ def channel_centres(Fs: int, n_channels: int) -> np.ndarray:
 
 
 def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
-                       cfg, mode: str = "v2", channels=None):
-    """Wideband capture -> per-channel packet decode.
+                       cfg, mode: str = "v2", channels=None,
+                       vectorized: bool = True, max_iter: int = 10):
+    """Wideband capture -> per-channel packet decode (BASELINE config 4).
 
     iq at Fs_total; each channel lands at Fs_total/n_channels which must
     equal cfg.Fs.  Returns {channel_index: list_of_payloads}.
+
+    vectorized=True (the TPU-first path) runs ONE jitted program: the
+    polyphase channelizer followed by the scan demod vmapped across the
+    selected channels — the whole wideband front-end is a single device
+    dispatch, replacing the reference's per-channel rtl_sdr+fsk_demod
+    process per frequency. Host work is only the per-channel deframe of the
+    soft bits. vectorized=False keeps one streaming Receiver per channel
+    (bit-identical packets; useful for incremental/streaming captures).
     """
+    from ..ops import deframe, fsk
     from ..rx.pipeline import Receiver
 
     if Fs_total // n_channels != cfg.Fs:
         raise ValueError("channel rate != demod config rate")
-    ch = np.asarray(channelize(jnp.asarray(iq, jnp.complex64), n_channels))
+    sel = list(range(n_channels)) if channels is None else list(channels)
+    if not vectorized:
+        ch = np.asarray(channelize(jnp.asarray(iq, jnp.complex64), n_channels))
+        out = {}
+        for k in sel:
+            rx = Receiver(mode=mode, cfg=cfg)
+            out[k] = rx.decode_iq(ch[k])
+        return out
+
+    nf = cfg.num_frames(len(iq) // n_channels)
+    sel_j = jnp.asarray(np.asarray(sel, np.int32))
+
+    @partial(jax.jit, static_argnames=("nc",))
+    def front_end(x, ks, nc):
+        chans = channelize(x, nc)[ks]             # (len(sel), n/N)
+        return jax.vmap(lambda c: fsk.demod_stream(cfg, c, nf)[1])(chans)
+
+    outs = jax.tree.map(np.asarray, front_end(
+        jnp.asarray(iq, jnp.complex64), sel_j, n_channels))
     out = {}
-    for k in (range(n_channels) if channels is None else channels):
-        rx = Receiver(mode=mode, cfg=cfg)
-        out[k] = rx.decode_iq(ch[k])
+    for i, k in enumerate(sel):
+        soft = outs.soft[i][outs.valid[i]].reshape(-1)
+        res = deframe.deframe_soft(soft, mode, max_iter)
+        out[k] = [res.packets_raw[j, :256].tobytes()
+                  for j, ok in enumerate(res.crc_ok) if ok]
     return out
