@@ -37,6 +37,10 @@ def add_args(ap: argparse.ArgumentParser):
     ap.add_argument("--stats-rate", type=float, default=1.0,
                     help="modem stats emission rate, Hz")
     ap.add_argument("--chunk-seconds", type=float, default=2.0)
+    ap.add_argument("--acquire", type=float, default=0.0, metavar="SECONDS",
+                    help="probe this many seconds first and search a coarse "
+                         "frequency-offset grid (parallel on device) when "
+                         "the SDR tuning is unknown; 0 = off")
     ap.add_argument("--throttle", action="store_true",
                     help="pace file input at real time (rx/play_iq.py role)")
 
@@ -73,12 +77,39 @@ def main(argv=None):
     chunk_samples = int(rx.cfg.Fs * args.chunk_seconds)
 
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+
+    # optional coarse acquisition: probe the head of the stream across a
+    # device-parallel offset grid, then mix every chunk by the winner
+    mix_frac = 0.0            # offset/Fs (fractional cycles per sample)
+    mix_pos = 0               # global sample index for phase continuity
+    pending = b""
+    if args.acquire > 0:
+        from ..parallel.sweep import acquisition_search
+        probe_n = int(rx.cfg.Fs * args.acquire)
+        pending = fin.read(probe_n * bytes_per_sample)
+        probe_iq = conv(np.frombuffer(pending, dtype=dtype))
+        step = rx.cfg.Rs // 2
+        grid = np.arange(-(rx.cfg.Fs // 2) + 2 * step, rx.cfg.Fs // 2 - 2 * step,
+                         step, dtype=np.float32)
+        best, scores = acquisition_search(rx.cfg, probe_iq, grid,
+                                          mode=args.mode)
+        nuw = 32 if args.mode == "v2" else 40
+        if scores.max() >= nuw - 2 * (4 if args.mode == "v2" else 5):
+            mix_frac = float(best) / rx.cfg.Fs
+            print(f"acquired coarse offset {best:+.0f} Hz "
+                  f"(UW score {scores.max():.0f}/{nuw})", file=sys.stderr)
+        else:
+            print(f"acquisition found no UW lock (best score "
+                  f"{scores.max():.0f}/{nuw}); leaving tuning unchanged",
+                  file=sys.stderr)
+
     last_stats = 0.0
     t0 = time.time()
     next_deadline = t0
     try:
         while True:
-            raw = fin.read(chunk_samples * bytes_per_sample)
+            raw = pending + fin.read(chunk_samples * bytes_per_sample)
+            pending = b""
             if not raw:
                 break
             if args.throttle:
@@ -87,7 +118,13 @@ def main(argv=None):
                 if delay > 0:
                     time.sleep(delay)
             buf = np.frombuffer(raw, dtype=dtype)
-            for payload in rx.push(conv(buf)):
+            iq = conv(buf)
+            if mix_frac:
+                n = mix_pos + np.arange(len(iq), dtype=np.float64)
+                iq = (iq * np.exp(-2j * np.pi * np.mod(n * mix_frac, 1.0))
+                      ).astype(np.complex64)
+            mix_pos += len(iq)
+            for payload in rx.push(iq):
                 router.handle_packet(payload)
             now = time.time()
             if not args.no_udp and now - last_stats > 1.0 / args.stats_rate:

@@ -222,7 +222,12 @@ def acquisition_search(cfg: fsk.FSKConfig, iq, offsets_hz,
     Returns (best_offset_hz, scores ndarray aligned with offsets_hz).
     """
     offsets_hz = np.atleast_1d(np.asarray(offsets_hz, np.float32))
-    nf = probe_frames or min(cfg.num_frames(len(iq)), 40)
+    syms_pp = (framing.V2_SYMBOLS_PER_PACKET if mode == "v2"
+               else framing.V1_SYMBOLS_PER_PACKET)
+    # default probe: two packet lengths + estimator warmup, so at least one
+    # whole UW lies inside the span wherever packet boundaries fall
+    default_nf = 2 * (syms_pp // cfg.Nsym + 2) + 16
+    nf = probe_frames or min(cfg.num_frames(len(iq)), default_nf)
     npad = nf * cfg.N + cfg.Nmem + cfg.Ts
     iq = np.asarray(iq)[:npad]
     iq_j = jnp.asarray(iq.astype(np.complex64))
