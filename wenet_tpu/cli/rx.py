@@ -8,10 +8,36 @@ limits, --stats emission)."""
 from __future__ import annotations
 
 import argparse
+import queue
 import sys
+import threading
 import time
 
 import numpy as np
+
+
+def _chunk_reader(fin, chunk_bytes: int, depth: int = 2):
+    """Background-thread chunk prefetcher: IO overlaps device dispatch
+    (the double-buffering SURVEY.md §7 calls for — the role the Unix pipe
+    buffer plays between rtl_sdr and fsk_demod in the reference)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def pump():
+        try:
+            while True:
+                raw = fin.read(chunk_bytes)
+                q.put(raw)
+                if not raw:
+                    return
+        except Exception:
+            q.put(b"")
+
+    threading.Thread(target=pump, daemon=True).start()
+    while True:
+        raw = q.get()
+        if not raw:
+            return
+        yield raw
 
 
 def add_args(ap: argparse.ArgumentParser):
@@ -107,8 +133,9 @@ def main(argv=None):
     t0 = time.time()
     next_deadline = t0
     try:
+        reader = _chunk_reader(fin, chunk_samples * bytes_per_sample)
         while True:
-            raw = pending + fin.read(chunk_samples * bytes_per_sample)
+            raw = pending + next(reader, b"")
             pending = b""
             if not raw:
                 break
