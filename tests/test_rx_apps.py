@@ -170,3 +170,43 @@ def test_payload_summary_emit():
 def test_selftest_passes():
     from wenet_tpu.rx import selftest
     assert selftest.run(verbose=False) == 0
+
+
+def test_rx_cli_acquire_recovers_offset(tmp_path):
+    """cli rx --acquire: a capture mistuned beyond the estimator band is
+    probed across the offset grid, mixed, and fully decoded."""
+    import glob
+    import numpy as np
+    from wenet_tpu.cli.rx import main as rx_main
+    from wenet_tpu.core import framing, packets
+    from wenet_tpu.ops import fsk, ldpc
+
+    cfg = fsk.FSKConfig(Fs=96000, Rs=9600)
+    rng = np.random.default_rng(3)
+    bits = [rng.integers(0, 2, cfg.Nbits * 8).astype(np.uint8)]
+    for i in range(3):
+        p = packets.encode_text_message("acq %d" % i, i)
+        bits.append(framing.frame_to_bits(
+            framing.frame_packet(p, ldpc.encode_bytes, mode="v2"), "v2"))
+    bits.append(rng.integers(0, 2, cfg.Nbits * 8).astype(np.uint8))
+    stream = np.concatenate(bits)
+    stream = np.concatenate(
+        [stream, np.zeros((-len(stream)) % cfg.Nbits, np.uint8)])
+    sig, _ = fsk.fsk_mod_np(cfg, stream, 2 * cfg.Rs, cfg.Rs)
+    noise = rng.normal(0, 0.05, (len(sig), 2)).astype(np.float32)
+    iq = (0.3 * sig + noise[:, 0] + 1j * noise[:, 1]).astype(np.complex64)
+    n = np.arange(len(iq), dtype=np.float64)
+    iq = (iq * np.exp(2j * np.pi * np.mod(n * 30000.0 / cfg.Fs, 1.0))
+          ).astype(np.complex64)
+    cap = tmp_path / "cap.c64"
+    iq.tofile(cap)
+
+    rc = rx_main([str(cap), "--format", "c64", "--fs", "96000", "--rs",
+                  "9600", "--no-udp", "--acquire", "1.5",
+                  "--image-dir", str(tmp_path / "img"),
+                  "--log-dir", str(tmp_path / "logs")])
+    assert rc == 0
+    logs = glob.glob(str(tmp_path / "logs" / "*text*.log"))
+    assert logs, "no text telemetry logged"
+    body = open(logs[0]).read()
+    assert all(("acq %d" % i) in body for i in range(3)), body

@@ -1,9 +1,12 @@
 """13-image corpus end-to-end run (BASELINE.json config 3): every reference
-test image through SSDV -> TX framing -> v2-rate modulation -> AWGN ->
+test image through SSDV -> TX framing -> flight-rate modulation -> AWGN ->
 full RX chain -> SSDV reassembly, with payload-level comparison against the
-reference C chain (fsk_demod | wenet_ldpc) on the same cu8 bytes.
+reference C chain (fsk_demod | wenet_ldpc or drs232_ldpc) on the same cu8
+bytes.
 
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/corpus_e2e.py
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/corpus_e2e.py \
+        --mode v1 --limit 3        # v1 RS232 chain at 921416/115177
 """
 import glob
 import io
@@ -26,13 +29,17 @@ from wenet_tpu.rx.pipeline import Receiver                   # noqa: E402
 import refbins                                               # noqa: E402
 
 
-def main(ebno=12.0, resolution=(800, 608)):
-    cfg = fsk.V2_CONFIG            # real flight rates: Fs=960000, Rs=96000
+def main(ebno=12.0, resolution=(800, 608), mode="v2", limit=None):
+    # real flight rates: v2 Fs=960000/Rs=96000, v1 Fs=921416/Rs=115177
+    cfg = fsk.V2_CONFIG if mode == "v2" else fsk.V1_CONFIG
     images = sorted(glob.glob("/root/reference/test_images/*.jpg"),
                     key=lambda p: int(os.path.basename(p).split(".")[0]))
+    if limit:
+        images = images[:limit]
     use_ref = refbins.reference_available()
     demod_bin = refbins.fsk_demod() if use_ref else None
-    ldpc_bin = refbins.wenet_ldpc() if use_ref else None
+    ldpc_bin = (refbins.wenet_ldpc() if mode == "v2"
+                else refbins.drs232_ldpc()) if use_ref else None
 
     total_t, total_samples, exact = 0.0, 0, 0
     rows = []
@@ -46,8 +53,8 @@ def main(ebno=12.0, resolution=(800, 608)):
         rng = np.random.default_rng(hash(name) % 2**32)
         bits = [rng.integers(0, 2, cfg.Nbits * 4).astype(np.uint8)]
         for p in pkts:
-            frame = framing.frame_packet(p, ldpc.encode_bytes, "v2")
-            bits.append(framing.frame_to_bits(frame, "v2"))
+            frame = framing.frame_packet(p, ldpc.encode_bytes, mode)
+            bits.append(framing.frame_to_bits(frame, mode))
         stream = np.concatenate(bits)
         stream = np.concatenate(
             [stream, np.zeros((-len(stream)) % cfg.Nbits, np.uint8)])
@@ -61,7 +68,7 @@ def main(ebno=12.0, resolution=(800, 608)):
                 [iq, np.zeros(pad_len - len(iq), np.complex64)])
         raw = fsk.iq_to_cu8(iq)
 
-        rx = Receiver(mode="v2", cfg=cfg)
+        rx = Receiver(mode=mode, cfg=cfg)
         t0 = time.time()
         ours = rx.decode_iq(fsk.iq_from_cu8(raw))
         dt = time.time() - t0
@@ -99,4 +106,10 @@ def main(ebno=12.0, resolution=(800, 608)):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["v1", "v2"], default="v2")
+    ap.add_argument("--ebno", type=float, default=12.0)
+    ap.add_argument("--limit", type=int, default=None)
+    a = ap.parse_args()
+    main(ebno=a.ebno, mode=a.mode, limit=a.limit)
