@@ -51,3 +51,37 @@ def test_parallel_dedups_repeated_content():
     par = pipeline.decode_iq_parallel(iq, "v2", CFG, n_chunks=3)
     assert len(par) >= 5
     assert all(x == p for x in par)
+
+
+def test_parallel_matches_sequential_at_boundary_false_lock():
+    """Regression: a chunk starting mid-packet can false-lock on payload
+    content and (under FSM semantics) swallow the next real UW; the "all"
+    acquisition recovers it, and a packet ending exactly at the capture end
+    still flushes. Parallel == sequential across chunk counts."""
+    import numpy as np
+    from wenet_tpu.core import framing
+    from wenet_tpu.ops import channel, fsk, ldpc
+    from wenet_tpu.rx.pipeline import Receiver, decode_iq_parallel
+
+    cfg = fsk.FSKConfig(Fs=92000, Rs=11500)   # scaled v1 geometry
+    rng = np.random.default_rng(42)
+    bits = [rng.integers(0, 2, cfg.Nbits * 4).astype(np.uint8)]
+    payloads = []
+    for i in range(24):
+        p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+        payloads.append(p)
+        bits.append(framing.frame_to_bits(
+            framing.frame_packet(p, ldpc.encode_bytes, mode="v1"), "v1"))
+    bits.append(rng.integers(0, 2, cfg.Nbits * 2).astype(np.uint8))
+    stream = np.concatenate(bits)
+    stream = np.concatenate(
+        [stream, np.zeros((-len(stream)) % cfg.Nbits, np.uint8)])
+    sig, _ = fsk.fsk_mod_np(cfg, stream, 2 * cfg.Rs, cfg.Rs)
+    iq = channel.add_awgn(sig.astype(np.complex64), 12.0, cfg.Fs, cfg.Rs,
+                          rng=rng)
+
+    seq = Receiver(mode="v1", cfg=cfg).decode_iq(iq)
+    assert len(seq) == 24
+    for nc in (3, 8, 16):
+        par = decode_iq_parallel(iq, mode="v1", cfg=cfg, n_chunks=nc)
+        assert par == seq, f"n_chunks={nc}: {len(par)} vs {len(seq)}"

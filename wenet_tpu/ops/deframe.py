@@ -230,17 +230,54 @@ class StreamDeframer:
         return out
 
 
+def correlation_candidates(hard_bits: np.ndarray, mode: str = "v2"
+                           ) -> np.ndarray:
+    """ALL in-stream UW correlation hits (no FSM skip): every window-end t
+    with >= thresh matching bits whose packet window [t+1, t+syms] fits."""
+    uw, allowed, syms = _mode_params(mode)
+    nuw = len(uw)
+    n = len(hard_bits)
+    pm = 1 - 2 * np.asarray(hard_bits, np.int32)
+    uw_pm = 1 - 2 * np.asarray(uw, np.int32)
+    corr = np.correlate(pm, uw_pm, mode="valid")
+    scores = (corr + nuw) // 2
+    t = np.flatnonzero(scores >= nuw - allowed) + nuw - 1
+    return t[t + syms < n].astype(np.int64)
+
+
 def deframe_soft(soft: np.ndarray, mode: str = "v2",
-                 max_iter: int = T.MAX_ITER) -> DeframeResult:
+                 max_iter: int = T.MAX_ITER,
+                 acquisition: str = "fsm") -> DeframeResult:
     """Full deframe of a soft-decision stream -> CRC-valid payloads.
 
-    Equivalent to piping `soft` through the reference wenet_ldpc/drs232_ldpc
-    binary and concatenating its stdout.
-    """
+    acquisition="fsm" (default) reproduces the reference deframer exactly —
+    piping `soft` through wenet_ldpc/drs232_ldpc and concatenating stdout —
+    including its blind spot: a false UW hit freezes collection for a whole
+    window, swallowing any real UW inside it.
+
+    acquisition="all" is the batched TPU-native variant: EVERY correlation
+    hit becomes a decode candidate (they batch-decode together anyway), the
+    CRC gates truth, and overlapping CRC-valid windows resolve greedily in
+    stream order. A strict superset of the FSM's valid packets — used by the
+    chunk-parallel decoder, where a chunk can start mid-packet and FSM
+    semantics would be path-dependent."""
     soft = np.asarray(soft, np.float32)
     hard = (soft < 0).astype(np.uint8)
-    positions, _ = uw_detect_positions(hard, mode)
-    pkts, ok, iters = decode_candidates(soft, positions, mode, max_iter)
+    if acquisition == "all":
+        _, _, syms = _mode_params(mode)
+        positions = correlation_candidates(hard, mode)
+        pkts, ok, iters = decode_candidates(soft, positions, mode, max_iter)
+        keep = np.zeros(len(positions), bool)
+        last_end = -1
+        for i, t in enumerate(positions):
+            if ok[i] and t > last_end:
+                keep[i] = True
+                last_end = t + syms
+        positions, pkts = positions[keep], pkts[keep]
+        ok, iters = ok[keep], iters[keep]
+    else:
+        positions, _ = uw_detect_positions(hard, mode)
+        pkts, ok, iters = decode_candidates(soft, positions, mode, max_iter)
     payloads = [pkts[i, :256].tobytes() for i in range(len(positions)) if ok[i]]
     return DeframeResult(
         payloads=payloads, n_detections=len(positions), n_crc_ok=int(ok.sum()),

@@ -75,7 +75,11 @@ def decode_iq_parallel(iq: np.ndarray, mode: str = "v2",
     halo = halo_frames * cfg.N
 
     core = -(-n // n_chunks)                       # samples per chunk core
-    chunk_len = core + halo
+    # flush tail: the scan needs lookahead (stash + timing interp) past the
+    # last symbol, so a packet ending exactly at the capture end still
+    # demodulates in the final chunk (zero-padded; interior duplicates dedup)
+    flush = 8 * cfg.N
+    chunk_len = core + halo + flush
     starts = np.maximum(np.arange(n_chunks) * core - halo, 0)
     # gather fixed-size chunks (pad capture at both ends)
     buf = np.zeros(n + chunk_len, np.complex64)
@@ -101,7 +105,10 @@ def decode_iq_parallel(iq: np.ndarray, mode: str = "v2",
         # drop warmup output for chunks with a preceding halo
         skip = warmup_frames if starts[k] > 0 else 0
         soft = outs.soft[k][valid][skip:].reshape(-1)
-        res = deframe.deframe_soft(soft, mode, max_iter)
+        # "all" acquisition: a chunk can start mid-packet, where the FSM's
+        # freeze-during-collection semantics are path-dependent; batched
+        # correlation + CRC gating is order-independent (see deframe_soft)
+        res = deframe.deframe_soft(soft, mode, max_iter, acquisition="all")
         base_bit = starts[k] // cfg.Ts + skip * cfg.Nsym
         for i, ok in enumerate(res.crc_ok):
             if ok:
