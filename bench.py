@@ -49,6 +49,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from wenet_tpu.core import framing
+from wenet_tpu.utils import compat
     from wenet_tpu.ops import fsk, ldpc
     from wenet_tpu.parallel import sweep
     from wenet_tpu.utils.rng import prng_key
@@ -106,7 +107,7 @@ def main():
     bits = np.concatenate([bits, np.zeros((-len(bits)) % cfg.Nbits, np.uint8)])
     sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
     var = float(np.mean(np.abs(sig) ** 2))
-    sig_j = jnp.asarray(sig.astype(np.complex64))
+    sig_j = compat.put_complex(sig)
     nf = cfg.num_frames(len(sig))
     # B=256 saturates the chip (tools/chain_scaling.py: 3.1 GS/s @ B=8,
     # 212 GS/s @ B>=256 -- per-dispatch tunnel latency amortizes out)

@@ -88,7 +88,7 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
         raise ValueError("channel rate != demod config rate")
     sel = list(range(n_channels)) if channels is None else list(channels)
     if not vectorized:
-        ch = np.asarray(channelize(jnp.asarray(iq, jnp.complex64), n_channels))
+        ch = compat.get_complex(channelize(compat.put_complex(iq), n_channels))
         out = {}
         for k in sel:
             rx = Receiver(mode=mode, cfg=cfg)
@@ -104,7 +104,7 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
         return jax.vmap(lambda c: fsk.demod_stream(cfg, c, nf)[1])(chans)
 
     outs = jax.tree.map(np.asarray, front_end(
-        jnp.asarray(iq, jnp.complex64), sel_j, n_channels))
+        compat.put_complex(iq), sel_j, n_channels))
     out = {}
     for i, k in enumerate(sel):
         soft = outs.soft[i][outs.valid[i]].reshape(-1)

@@ -159,6 +159,19 @@ def decode_candidates(soft: np.ndarray, positions: np.ndarray, mode: str = "v2",
 
     idx = positions[:, None] + 1 + np.arange(syms)[None, :]
     windows = soft[idx].astype(np.float64)            # C collects into double
+    return decode_windows(windows, mode, max_iter)
+
+
+def decode_windows(windows: np.ndarray, mode: str = "v2",
+                   max_iter: int = T.MAX_ITER):
+    """Decode pre-gathered (B, syms) soft windows in ONE device batch —
+    the dispatch-count-critical path for chunk-parallel decode, where
+    windows from every chunk concatenate into a single decoder call."""
+    B = len(windows)
+    if B == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros((0, 258), np.uint8), np.zeros(0, bool), z.astype(np.int32)
+    windows = np.asarray(windows, np.float64)
 
     if mode == "v2":
         desc = framing.rx_descramble_soft(windows)    # ±1 table, exact

@@ -497,7 +497,7 @@ def demod_iq_np(cfg: FSKConfig, iq: np.ndarray, state: DemodState | None = None)
     (exactly what `fsk_demod -s` writes to stdout) plus the frame stats."""
     iq = np.asarray(iq, np.complex64)
     nf = cfg.num_frames(len(iq))
-    final, outs = demod_stream(cfg, jnp.asarray(iq), nf, state)
+    final, outs = demod_stream(cfg, compat.put_complex(iq), nf, state)
     outs = jax.tree.map(np.asarray, outs)
     valid = outs.valid
     return outs.soft[valid].reshape(-1), outs, final

@@ -14,6 +14,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..core import framing
+from ..utils import compat
 from ..ops import crc as dcrc
 from ..ops import fsk, ldpc
 from ..utils.rng import prng_key
@@ -151,7 +152,7 @@ def chain_per_sweep(cfg: fsk.FSKConfig, ebno_grid, trials_per_point: int,
     key = prng_key(42) if key is None else key
     payload = bytes(range(256)) if payload is None else payload
     sig, var = make_single_packet_stream(cfg, payload, mode)
-    sig_j = jnp.asarray(sig)
+    sig_j = compat.put_complex(sig)
     nf = cfg.num_frames(len(sig))
 
     # sig is a jit ARGUMENT, not a closure: the axon backend rejects
@@ -230,7 +231,7 @@ def acquisition_search(cfg: fsk.FSKConfig, iq, offsets_hz,
     nf = probe_frames or min(cfg.num_frames(len(iq)), default_nf)
     npad = nf * cfg.N + cfg.Nmem + cfg.Ts
     iq = np.asarray(iq)[:npad]
-    iq_j = jnp.asarray(iq.astype(np.complex64))
+    iq_j = compat.put_complex(iq)
     uw = framing.UW_BITS_V2 if mode == "v2" else framing.UW_BITS_V1
     kern = jnp.asarray(1.0 - 2.0 * uw.astype(np.float32))
     n = np.arange(len(iq), dtype=np.float32)

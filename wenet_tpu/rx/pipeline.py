@@ -14,6 +14,7 @@ import numpy as np
 
 from ..core import framing
 from ..ops import deframe, fsk
+from ..utils import compat
 
 
 MODE_CONFIGS = {
@@ -47,7 +48,8 @@ class RxStats:
 def decode_iq_parallel(iq: np.ndarray, mode: str = "v2",
                        cfg: fsk.FSKConfig | None = None,
                        n_chunks: int = 8, warmup_frames: int = 8,
-                       max_iter: int = 10, mesh=None):
+                       max_iter: int = 10, mesh=None,
+                       input_format: str = "c64"):
     """Data-parallel single-capture decode: overlap-save over the time axis.
 
     The sequential scan demod is exact but serial; for throughput the
@@ -66,8 +68,12 @@ def decode_iq_parallel(iq: np.ndarray, mode: str = "v2",
     import jax.numpy as jnp
 
     cfg = MODE_CONFIGS[mode] if cfg is None else cfg
-    iq = np.asarray(iq, np.complex64)
-    n = len(iq)
+    if input_format == "cu8":
+        raw = np.asarray(iq, np.uint8)
+        n = len(raw) // 2
+    else:
+        iq = np.asarray(iq, np.complex64)
+        n = len(iq)
     syms_pp = (framing.V2_SYMBOLS_PER_PACKET if mode == "v2"
                else framing.V1_SYMBOLS_PER_PACKET)
     packet_frames = syms_pp // cfg.Nsym + 2
@@ -81,39 +87,74 @@ def decode_iq_parallel(iq: np.ndarray, mode: str = "v2",
     flush = 8 * cfg.N
     chunk_len = core + halo + flush
     starts = np.maximum(np.arange(n_chunks) * core - halo, 0)
-    # gather fixed-size chunks (pad capture at both ends)
-    buf = np.zeros(n + chunk_len, np.complex64)
-    buf[:n] = iq
-    chunks = np.stack([buf[s:s + chunk_len] for s in starts])
-
     nf = cfg.num_frames(chunk_len)
-    vdemod = jax.jit(jax.vmap(lambda x: fsk.demod_stream(cfg, x, nf)[1]),
-                     static_argnums=())
-    chunks_j = jnp.asarray(chunks)
-    if mesh is not None:
-        # shard the chunk axis over the mesh: each device demodulates its
-        # chunks concurrently (multi-chip on TPU, multi-core on a virtual
-        # CPU mesh)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        axis = mesh.axis_names[0]
-        chunks_j = jax.device_put(chunks_j, NamedSharding(mesh, P(axis)))
-    outs = jax.tree.map(np.asarray, vdemod(chunks_j))
 
-    results = []
+    if input_format == "cu8":
+        # TPU-first ingest: move the raw rtl_sdr bytes (2 B/sample, 4x less
+        # wire traffic than complex64 pairs) and do BOTH the u8->complex
+        # conversion (fsk_demod.c:281-287) and the overlap-save chunk gather
+        # on device, in the same program as the vmapped demod. On a
+        # tunnelled chip host->device bandwidth is the bottleneck; on a real
+        # host this also skips one full host-side copy of the capture.
+        pad = np.zeros(((n + chunk_len) - n) * 2, np.uint8)
+        raw_pairs = np.concatenate([raw[: 2 * n], pad]).reshape(-1, 2)
+        starts_j = jnp.asarray(starts.astype(np.int32))
+
+        @jax.jit
+        def front(r, st):
+            x = (r.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+            z = jax.lax.complex(x[:, 0], x[:, 1])
+            ix = st[:, None] + jnp.arange(chunk_len, dtype=jnp.int32)
+            return jax.vmap(lambda s: fsk.demod_stream(cfg, s, nf)[1])(z[ix])
+
+        outs = jax.tree.map(np.asarray, front(jnp.asarray(raw_pairs),
+                                              starts_j))
+    else:
+        # gather fixed-size chunks (pad capture at both ends)
+        buf = np.zeros(n + chunk_len, np.complex64)
+        buf[:n] = iq
+        chunks = np.stack([buf[s:s + chunk_len] for s in starts])
+
+        vdemod = jax.jit(jax.vmap(lambda x: fsk.demod_stream(cfg, x, nf)[1]),
+                         static_argnums=())
+        chunks_j = compat.put_complex(chunks)
+        if mesh is not None:
+            # shard the chunk axis over the mesh: each device demodulates
+            # its chunks concurrently (multi-chip on TPU, multi-core on a
+            # virtual CPU mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            chunks_j = jax.device_put(chunks_j, NamedSharding(mesh, P(axis)))
+        outs = jax.tree.map(np.asarray, vdemod(chunks_j))
+
+    # "all" acquisition per chunk (a chunk can start mid-packet, where the
+    # FSM's freeze-during-collection semantics are path-dependent; batched
+    # correlation + CRC gating is order-independent), with every chunk's
+    # candidate windows concatenated into ONE decoder dispatch — on a
+    # tunnelled TPU the per-dispatch latency, not the decode, is the cost
+    all_windows, metas = [], []
     for k in range(n_chunks):
         valid = outs.valid[k]
-        # drop warmup output for chunks with a preceding halo
-        skip = warmup_frames if starts[k] > 0 else 0
+        skip = warmup_frames if starts[k] > 0 else 0  # drop halo warmup output
         soft = outs.soft[k][valid][skip:].reshape(-1)
-        # "all" acquisition: a chunk can start mid-packet, where the FSM's
-        # freeze-during-collection semantics are path-dependent; batched
-        # correlation + CRC gating is order-independent (see deframe_soft)
-        res = deframe.deframe_soft(soft, mode, max_iter, acquisition="all")
+        hard = (soft < 0).astype(np.uint8)
+        pos = deframe.correlation_candidates(hard, mode)
+        if len(pos) == 0:
+            continue
+        idx = pos[:, None] + 1 + np.arange(syms_pp)[None, :]
+        all_windows.append(soft[idx])
         base_bit = starts[k] // cfg.Ts + skip * cfg.Nsym
-        for i, ok in enumerate(res.crc_ok):
-            if ok:
-                results.append((base_bit + int(res.positions[i]),
-                                res.packets_raw[i, :256].tobytes()))
+        metas.extend((k, int(t), base_bit + int(t)) for t in pos)
+
+    results = []
+    if metas:
+        windows = np.concatenate(all_windows)
+        pkts, ok, _ = deframe.decode_windows(windows, mode, max_iter)
+        last_end = {}                      # per-chunk greedy overlap resolve
+        for i, (k, t, gpos) in enumerate(metas):
+            if ok[i] and t > last_end.get(k, -1):
+                last_end[k] = t + syms_pp
+                results.append((gpos, pkts[i, :256].tobytes()))
 
     # dedup: same content within one packet-length of global bit position
     results.sort(key=lambda x: x[0])
@@ -185,7 +226,7 @@ class Receiver:
         blen = -(-len(buf) // (32 * cfg.N)) * (32 * cfg.N)
         padded = np.zeros(blen, np.complex64)
         padded[: len(buf)] = buf
-        final, outs = fsk.demod_stream(cfg, jnp.asarray(padded), nf,
+        final, outs = fsk.demod_stream(cfg, compat.put_complex(padded), nf,
                                        self.state, n_valid=len(buf))
         outs = jax.tree.map(np.asarray, outs)
         valid = outs.valid

@@ -81,3 +81,31 @@ def floor_int(x, lo: int, hi: int):
     for k in range(lo + 1, hi + 1):
         out = out + (x >= k).astype(jnp.int32)
     return out
+
+
+# ------------------------------------------------- complex host<->device IO
+#
+# Some tunnelled TPU backends reject complex64 host<->device transfers
+# outright (probed 2026-08-18: a 1000-element jnp.asarray(complex64) returns
+# UNIMPLEMENTED while float32 moves fine, and capabilities VARY between
+# tunnel sessions).  All entry points therefore move float32 (re,im) pairs
+# across the wire and form/split complex on device, where lax.complex and
+# .real/.imag are always available.
+
+@jax.jit
+def _pairs_to_complex(pairs):
+    return jax.lax.complex(pairs[..., 0], pairs[..., 1])
+
+
+def put_complex(x: np.ndarray) -> jnp.ndarray:
+    """Host complex array -> device complex64, transferring only float32."""
+    x = np.ascontiguousarray(x, np.complex64)
+    pairs = x.view(np.float32).reshape(*x.shape, 2)
+    return _pairs_to_complex(jnp.asarray(pairs))
+
+
+def get_complex(x: jnp.ndarray) -> np.ndarray:
+    """Device complex array -> host complex64, transferring only float32."""
+    pairs = np.asarray(jnp.stack([x.real, x.imag], axis=-1), np.float32)
+    flat = np.ascontiguousarray(pairs).view(np.complex64)
+    return flat.reshape(x.shape)

@@ -16,6 +16,8 @@ import contextlib
 
 import numpy as np
 
+from . import compat
+
 
 def probe_demod(cfg, iq: np.ndarray, num_frames: int | None = None) -> dict:
     """Demodulate and return named per-frame traces."""
@@ -31,7 +33,7 @@ def probe_demod(cfg, iq: np.ndarray, num_frames: int | None = None) -> dict:
     pad_front = cfg.Nmem
     pad_back = cfg.Nmem + cfg.Ndft * cfg.max_fft_blocks
     buf = jnp.concatenate([
-        jnp.zeros(pad_front, jnp.complex64), jnp.asarray(iq),
+        jnp.zeros(pad_front, jnp.complex64), compat.put_complex(iq),
         jnp.zeros(pad_back, jnp.complex64)])
     n = len(iq)
 
