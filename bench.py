@@ -49,7 +49,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from wenet_tpu.core import framing
-from wenet_tpu.utils import compat
+    from wenet_tpu.utils import compat
     from wenet_tpu.ops import fsk, ldpc
     from wenet_tpu.parallel import sweep
     from wenet_tpu.utils.rng import prng_key
