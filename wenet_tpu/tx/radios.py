@@ -73,6 +73,43 @@ class IQRadio(_RadioBase):
         self.sink((0.5 * self.amplitude * sig).astype(np.complex64))
 
 
+class RFM98W_IQ(IQRadio):
+    """IQRadio configured through a register-level RFM98W driver.
+
+    The register file (or real SPI transport) is programmed exactly as the
+    reference programs the hardware (radio_wrappers.py:85-139); the FSK
+    tone spacing used for synthesis is then *read back from the registers*
+    (2x deviation), so tests exercise the true config path.  Also carries
+    the reference's per-5000-packet re-init behavior.
+    """
+
+    def __init__(self, sink, frequency_hz: float = 443.5e6,
+                 baudrate: int | None = None, tx_power_dbm: int = 10,
+                 mode: str = "v2", cfg: fsk.FSKConfig | None = None,
+                 transport=None, reinit_count: int = 5000):
+        from . import sx127x
+        base_cfg = (fsk.V2_CONFIG if mode == "v2" else fsk.V1_CONFIG) \
+            if cfg is None else cfg
+        baud = base_cfg.Rs if baudrate is None else baudrate
+        self.radio = sx127x.RFM98W(
+            frequency_hz=frequency_hz, baudrate=baud,
+            tx_power_dbm=tx_power_dbm, reinit_count=reinit_count,
+            transport=transport)
+        if not self.radio.start():
+            raise RuntimeError("RFM98W failed to initialise")
+        regs = self.radio.lora.spi
+        shift = (int(round(2 * regs.deviation_hz()))
+                 if isinstance(regs, sx127x.RegisterFile) else baud)
+        super().__init__(sink, cfg=base_cfg, mode=mode, shift=shift)
+
+    def transmit_packet(self, frame: bytes) -> None:
+        super().transmit_packet(frame)
+        self.radio.on_packet_transmitted()
+
+    def shutdown(self) -> None:
+        self.radio.shutdown()
+
+
 class BinaryDebugRadio(_RadioBase):
     """Write packets as one-byte-per-bit files (0x00/0x01) for codec2's fsk
     modulator — the reference's BinaryDebug fake radio."""
