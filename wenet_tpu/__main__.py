@@ -1,15 +1,18 @@
-"""Dispatcher: python -m wenet_tpu {rx,tx,bench,web,console}."""
+"""Dispatcher: python -m wenet_tpu {rx,tx,bench,web,console,gui,telemetrygui}."""
 import sys
 
 
 def main():
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
-        print("usage: python -m wenet_tpu {rx,tx,bench,web,console} [args]\n"
-              "  rx       decode IQ -> packets/images/telemetry\n"
-              "  tx       transmit images/text to IQ/bit/UDP sinks\n"
-              "  bench    PER/throughput regression sweep\n"
-              "  web      live web GUI (wenetserver equivalent)\n"
-              "  console  print telemetry from the UDP broadcast bus")
+        print("usage: python -m wenet_tpu {rx,tx,bench,web,console,gui,"
+              "telemetrygui} [args]\n"
+              "  rx           decode IQ -> packets/images/telemetry\n"
+              "  tx           transmit images/text to IQ/bit/UDP sinks\n"
+              "  bench        PER/throughput regression sweep\n"
+              "  web          live web GUI (wenetserver equivalent)\n"
+              "  console      print telemetry from the UDP broadcast bus\n"
+              "  gui          image viewer (rx_gui equivalent; Qt if present)\n"
+              "  telemetrygui GPS/IMU dashboard (TelemetryGUI equivalent)")
         return 0
     cmd, argv = sys.argv[1], sys.argv[2:]
     if cmd == "rx":
@@ -41,6 +44,14 @@ def main():
                 time.sleep(1)
         except KeyboardInterrupt:
             srv.close()
+        return 0
+    if cmd == "gui":
+        from .rx.gui import run_image_gui
+        run_image_gui()
+        return 0
+    if cmd == "telemetrygui":
+        from .rx.gui import run_telemetry_gui
+        run_telemetry_gui()
         return 0
     if cmd == "console":
         from .rx.telemetry_console import listen
