@@ -71,3 +71,43 @@ def test_two_channels_decode_from_wideband():
     out_rx = channelizer.demod_multichannel(wide, FS_TOTAL, NCH, CFG,
                                             channels=[2, 5], vectorized=False)
     assert out_rx == out
+
+
+def test_wideband_cli(tmp_path):
+    """`rx --channels N`: the CLI front door for the wideband path (the
+    reference's rx/grc flowgraph role)."""
+    from wenet_tpu.cli import rx as rx_cli
+    from wenet_tpu.core import packets as wp
+
+    rng = np.random.default_rng(60)
+    payload = wp.encode_text_message("wideband channel three", 7)
+    frame = framing.frame_packet(payload, ldpc.encode_bytes, mode="v2")
+    bits = np.concatenate([
+        rng.integers(0, 2, CFG.Nbits * 3).astype(np.uint8),
+        framing.frame_to_bits(frame, "v2"),
+        rng.integers(0, 2, CFG.Nbits * 3).astype(np.uint8)])
+    bits = np.concatenate([bits, np.zeros((-len(bits)) % CFG.Nbits, np.uint8)])
+    sig, _ = fsk.fsk_mod_np(CFG, bits, 2 * CFG.Rs, CFG.Rs)
+    sig = sig.astype(np.complex64)
+
+    n = len(sig)
+    t = np.arange(n * NCH) / FS_TOTAL
+    dst_t = np.arange(n * NCH) / NCH
+    i0 = np.minimum(dst_t.astype(np.int64), n - 2)
+    fr = dst_t - i0
+    nb = (1 - fr) * sig[i0] + fr * sig[i0 + 1]
+    wide = (nb * np.exp(2j * np.pi * (3 * FS_TOTAL / NCH) * t)
+            ).astype(np.complex64)
+    wide = channel.add_awgn(wide, 30.0, FS_TOTAL, CFG.Rs,
+                            rng=np.random.default_rng(8))
+    cap = tmp_path / "wide.c64"
+    wide.tofile(cap)
+
+    rc = rx_cli.main([str(cap), "--format", "c64", "--channels", str(NCH),
+                      "--channel-select", "3", "--mode", "v2",
+                      "--fs", str(CFG.Fs), "--rs", str(CFG.Rs),
+                      "--no-udp", "--image-dir", str(tmp_path / "imgs"),
+                      "--log-dir", str(tmp_path / "logs")])
+    assert rc == 0
+    logs = list((tmp_path / "logs").glob("*text*"))
+    assert logs and "wideband channel three" in logs[0].read_text()

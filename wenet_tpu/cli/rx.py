@@ -69,6 +69,13 @@ def add_args(ap: argparse.ArgumentParser):
                          "the SDR tuning is unknown; 0 = off")
     ap.add_argument("--throttle", action="store_true",
                     help="pace file input at real time (rx/play_iq.py role)")
+    ap.add_argument("--channels", type=int, default=0, metavar="N",
+                    help="wideband mode: polyphase-channelize the capture "
+                         "into N channels of --fs each and demod them all in "
+                         "one device dispatch (the TPU-native successor to "
+                         "the reference's rx/grc wideband flowgraphs)")
+    ap.add_argument("--channel-select", default=None, metavar="K[,K...]",
+                    help="with --channels: only decode these channel indices")
 
 
 def main(argv=None):
@@ -98,6 +105,33 @@ def main(argv=None):
         sample_rate=rx.cfg.Fs)
 
     conv, dtype, width = INPUT_CONVERTERS[args.format]
+
+    if args.channels:
+        # one-shot wideband decode: whole capture -> channelizer + vmapped
+        # demods in a single jitted program, payloads routed per channel
+        from ..ops.channelizer import demod_multichannel
+        fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+        iq = conv(np.frombuffer(fin.read(), dtype=dtype))
+        if fin is not sys.stdin.buffer:
+            fin.close()
+        sel = ([int(k) for k in args.channel_select.split(",")]
+               if args.channel_select else None)
+        t0 = time.time()
+        per_channel = demod_multichannel(
+            iq, Fs_total=cfg.Fs * args.channels, n_channels=args.channels,
+            cfg=cfg, mode=args.mode, channels=sel)
+        n = 0
+        for k in sorted(per_channel):
+            for payload in per_channel[k]:
+                router.handle_packet(payload)
+                n += 1
+        router.flush()
+        dt = time.time() - t0
+        print(f"wideband: {args.channels} channels, {n} packets, "
+              f"images={router.images_decoded} wall={dt:.2f}s "
+              f"({len(iq) * args.channels / max(dt, 1e-9) / 1e6:.2f} Msamp/s)",
+              file=sys.stderr)
+        return 0
     bytes_per_sample = np.dtype(dtype).itemsize * (
         2 if args.format in ("cu8", "cs16") else 1)
     chunk_samples = int(rx.cfg.Fs * args.chunk_seconds)
