@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--duration", type=float, default=30.0,
                     help="seconds of flight to run")
     ap.add_argument("--gps-rate", type=float, default=1.0)
+    ap.add_argument("--gps-port", default=None,
+                    help="serial device of a real u-blox GPS (UBX protocol "
+                         "via tx/ubx.py); default: simulated trajectory")
     ap.add_argument("--tx-resolution", default="800x608")
     args = ap.parse_args(argv)
 
@@ -52,7 +55,13 @@ def main(argv=None):
     def on_fix(state):
         tx.transmit_gps_telemetry(state, cam.camera.get_metadata())
 
-    gps = SimulatedGPS(callback=on_fix, rate=args.gps_rate)
+    if args.gps_port:
+        from ..tx.ubx import UBloxGPS
+        gps = UBloxGPS(port=args.gps_port, callback=on_fix,
+                       update_rate_ms=int(1000 / max(args.gps_rate, 0.1)),
+                       debug_ptr=tx.transmit_text_message)
+    else:
+        gps = SimulatedGPS(callback=on_fix, rate=args.gps_rate)
     gps.start()
 
     w, h = (int(v) for v in args.tx_resolution.split("x"))
