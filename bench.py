@@ -114,29 +114,37 @@ def main():
     B = int(os.environ.get("WENET_BENCH_STREAMS", "256"))
     ebnos = jnp.linspace(8.0, 15.0, B)
 
+    from wenet_tpu.ops import deframe
+
     @jax.jit
     def chain(sig, keys, ebno_db):
         # sig as an ARGUMENT: the axon backend rejects large embedded
         # array constants (tools/tpu_bisect vmap_noise vs vmap_chain_arg)
+        # The WHOLE chain runs on device: demod scan -> UW top-k deframe
+        # -> descramble -> BP decode -> CRC gate.
         def one(k, e):
             nvar = var * cfg.Fs / (cfg.Rs * 10.0 ** (e / 10.0))
             z = jax.random.normal(k, (sig.shape[0], 2), jnp.float32)
             iq = sig + jnp.sqrt(nvar / 2) * jax.lax.complex(z[:, 0], z[:, 1])
             iq = iq / jnp.max(jnp.abs(iq))
             _, outs = fsk.demod_stream(cfg, iq, nf)
-            return outs.soft
+            _, ok, _, _ = deframe.deframe_topk(
+                outs.soft.reshape(-1), mode="v2", k=n_packets)
+            return jnp.sum(ok.astype(jnp.int32))
         return jax.vmap(one)(keys, ebno_db)
 
     keys = jax.random.split(prng_key(1), B)
     t0 = time.perf_counter()
-    soft = chain(sig_j, keys, ebnos)
-    soft.block_until_ready()
+    ok = chain(sig_j, keys, ebnos)
+    ok.block_until_ready()
     RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     for r in range(reps):
-        soft = chain(sig_j, jax.random.split(prng_key(2 + r), B), ebnos)
-    soft.block_until_ready()
+        ok = chain(sig_j, jax.random.split(prng_key(2 + r), B), ebnos)
+    ok.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
+    RESULTS["packets_ok"] = int(np.asarray(ok).sum())
+    RESULTS["packets_sent"] = B * n_packets
     msps = B * len(sig) / dt / 1e6
     RESULTS["full_chain_msps"] = msps
     RESULTS["realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)

@@ -68,3 +68,26 @@ def test_deframe_matches_reference(mode, noise):
         f"payload mismatch: ours {len(ours)}B vs ref {len(ref_out)}B "
         f"({res.n_detections} det, {res.n_crc_ok} ok); ref stderr: "
         f"{proc.stderr.decode()[-200:]}")
+
+
+@pytest.mark.parametrize("mode", ["v2", "v1"])
+def test_deframe_topk_device_matches_host(mode):
+    """The all-on-device top-k deframe recovers the same packets as the
+    host FSM path, under jit, with excess picks failing the CRC gate."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    soft, payloads = _soft_stream(mode, 3, rng, noise=0.35)
+    host = deframe.deframe_soft(soft, mode)
+    assert host.n_crc_ok == 3
+
+    fn = jax.jit(lambda s: deframe.deframe_topk(s, mode=mode, k=5))
+    pbytes, ok, iters, starts = jax.tree.map(np.asarray,
+                                             fn(jnp.asarray(soft)))
+    got = sorted(pbytes[i, :256].tobytes() for i in range(5) if ok[i])
+    assert got == sorted(payloads)
+    assert int(ok.sum()) == 3          # the 2 extra picks are CRC-rejected
+    # real picks are distinct UW starts; exhausted picks are -1 sentinels
+    real = [s for s in starts.tolist() if s >= 0]
+    assert len(set(real)) == len(real) >= 3

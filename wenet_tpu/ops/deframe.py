@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core import framing
 from ..core import ldpc_tables as T
+from . import crc as dcrc
 from . import ldpc
 
 try:
@@ -193,6 +194,64 @@ def decode_windows(windows: np.ndarray, mode: str = "v2",
     rx_crc = framing.crc16_ccitt_batch(pbytes[:, :256])
     tx_crc = pbytes[:, 256].astype(np.uint16) | (pbytes[:, 257].astype(np.uint16) << 8)
     return pbytes, rx_crc == tx_crc, np.asarray(iters)
+
+
+def deframe_topk(soft: jnp.ndarray, mode: str = "v2", k: int = 8,
+                 max_iter: int = T.MAX_ITER):
+    """Deframe up to k packets from a soft stream ENTIRELY on device.
+
+    The host-loop paths above reproduce the C FSM's greedy gating
+    byte-exactly; this variant trades that for a single jittable program
+    (static k), so a whole capture's deframe+decode can live inside one
+    jit/vmap — the bench and Monte-Carlo configuration. Selection is k
+    rounds of strongest-correlation pick + neighborhood blanking (a
+    lax.scan), then all k windows decode as one BP batch.
+
+    Returns (payload_bytes (k, 258) uint8, crc_ok (k,) bool,
+    iters (k,) int32, positions (k,) int32). Weak picks (noise) simply
+    fail the CRC gate, mirroring the C chain's behavior on false UW hits
+    (wenet_ldpc.c:216-243); picks beyond the number of placeable windows
+    return position -1 with a zeroed (CRC-failing) window.
+    """
+    import jax
+
+    uw, _, syms = _mode_params(mode)
+    n = soft.shape[0]
+    nuw = len(uw)
+    hard_pm = jnp.where(soft < 0, -1.0, 1.0).astype(jnp.float32)
+    kern = jnp.asarray(1.0 - 2.0 * uw.astype(np.float32))
+    scores0 = jnp.correlate(hard_pm, kern, mode="valid")
+    idx = jnp.arange(scores0.shape[0], dtype=jnp.int32)
+    # the full packet window [s+nuw, s+nuw+syms) must be in-stream
+    scores0 = jnp.where(idx <= n - syms - nuw, scores0, -jnp.inf)
+
+    def pick(scores, _):
+        # first-max without arg* primitives (axon backend portability)
+        s = jnp.min(jnp.where(scores >= jnp.max(scores), idx,
+                              jnp.int32(scores.shape[0])))
+        exhausted = ~jnp.isfinite(jnp.max(scores))
+        s = jnp.where(exhausted, jnp.int32(0), s)
+        # blank every start whose window would overlap this packet's
+        blank = (idx > s - (nuw + syms)) & (idx < s + nuw + syms)
+        return (jnp.where(blank, -jnp.inf, scores),
+                (s, exhausted))
+    _, (starts, exhausted) = jax.lax.scan(pick, scores0, None, length=k)
+
+    def window(s):
+        return jax.lax.dynamic_slice(soft, (s + nuw,), (syms,))
+    wins = jax.vmap(window)(starts)                    # (k, syms)
+    wins = jnp.where(exhausted[:, None], 0.0, wins)    # sentinel: CRC-fails
+    starts = jnp.where(exhausted, jnp.int32(-1), starts)
+
+    if mode == "v2":
+        sd = framing.rx_descramble_soft(wins)[:, : T.CODE_LEN]
+    else:
+        sd = framing.rs232_strip_soft(wins)[:, : T.CODE_LEN]
+    llr = ldpc.sd_to_llr(sd.astype(jnp.float32))
+    bits, iters, _ = ldpc.decode(llr, max_iter=max_iter)
+    ok = dcrc.packet_crc_ok(bits)
+    pbytes = dcrc.bits_to_bytes(bits[:, : 258 * 8]).astype(jnp.uint8)
+    return pbytes, ok, iters, starts
 
 
 class StreamDeframer:

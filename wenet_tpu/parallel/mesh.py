@@ -20,6 +20,28 @@ def make_mesh_2d(dp: int, tp: int, axes=("batch", "model")) -> Mesh:
     return Mesh(devs, axes)
 
 
+def make_hybrid_mesh(tp: int = 1, axes=("batch", "model")) -> Mesh:
+    """DCN x ICI-aware 2-D mesh for multi-host pod slices.
+
+    The model (tensor-parallel) axis must ride ICI — its per-BP-iteration
+    psums are latency-critical — while the batch axis tolerates DCN. On
+    multi-process runs this uses mesh_utils.create_hybrid_device_mesh with
+    tp packed innermost (within a host's slice); single-process runs fall
+    back to a local reshape with the same axis semantics, so programs
+    written against this mesh run unchanged from laptop to pod.
+    """
+    n = len(jax.devices())
+    if n % tp:
+        raise ValueError(f"tp={tp} does not divide {n} devices")
+    if jax.process_count() > 1:  # pragma: no cover - needs multi-host
+        from jax.experimental import mesh_utils
+        per_host = n // jax.process_count()
+        devs = mesh_utils.create_hybrid_device_mesh(
+            (per_host // tp, tp), (jax.process_count(), 1))
+        return Mesh(devs.reshape(n // tp, tp), axes)
+    return Mesh(np.array(jax.devices()).reshape(n // tp, tp), axes)
+
+
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> int:
