@@ -28,11 +28,12 @@ def test_image_viewer_model_messages():
 
 
 def test_image_viewer_over_udp():
-    port = 17890
     m = ImageViewerModel()
-    listener = UDPListener(port, m.handle).start()
+    # bind port 0: the OS picks a free port, so parallel/shared CI hosts
+    # never collide (and SO_REUSEPORT can't route our datagrams elsewhere)
+    listener = UDPListener(0, m.handle).start()
     try:
-        em = UDPEmitter(image_port=port)
+        em = UDPEmitter(image_port=listener.port)
         em.gui_update("rx_images/a.jpg", "hello")
         for _ in range(50):
             if m.images_seen:

@@ -127,9 +127,10 @@ def main(argv=None):
                 n += 1
         router.flush()
         dt = time.time() - t0
+        # iq is already at the full wideband rate Fs_total = cfg.Fs * channels
         print(f"wideband: {args.channels} channels, {n} packets, "
               f"images={router.images_decoded} wall={dt:.2f}s "
-              f"({len(iq) * args.channels / max(dt, 1e-9) / 1e6:.2f} Msamp/s)",
+              f"({len(iq) / max(dt, 1e-9) / 1e6:.2f} Msamp/s)",
               file=sys.stderr)
         return 0
     bytes_per_sample = np.dtype(dtype).itemsize * (

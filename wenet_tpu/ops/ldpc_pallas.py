@@ -221,8 +221,8 @@ def decode_pallas(llr: jnp.ndarray, max_iter: int = 10,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, EDGES_P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # scat stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),      # scat_t stays in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),      # scat stays in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),      # scat_t stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((batch_tile, VARS_P), lambda i: (i, 0),

@@ -44,6 +44,7 @@ class UDPListener:
         except OSError:
             pass
         self._sock.bind(("", self.port))
+        self.port = self._sock.getsockname()[1]   # resolve port=0 -> assigned
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()

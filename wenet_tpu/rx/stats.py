@@ -101,7 +101,8 @@ class FSKDemodStats:
             "fest": self.fest,
             "freq": self.freq,
             "fcentre": self.fcentre,
-            "time": datetime.datetime.utcnow().strftime("%Y-%m-%d %H:%M:%SZ"),
+            "time": datetime.datetime.now(datetime.timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%SZ"),
         }
 
 

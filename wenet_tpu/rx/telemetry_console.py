@@ -36,7 +36,7 @@ def listen(port: int = wp.WENET_TELEMETRY_UDP_PORT, log_file: str | None = None,
             if d.get("type") != "WENET":
                 continue
             packet = bytes(bytearray(d["packet"]))
-            line = "%s \t%s" % (datetime.datetime.utcnow().isoformat(),
+            line = "%s \t%s" % (datetime.datetime.now(datetime.timezone.utc).isoformat(),
                                 wp.packet_to_string(packet))
             print_fn(line)
             if logf:

@@ -60,7 +60,7 @@ class PacketTX:
         self.log_file = open(log_file, "a") if log_file else None
         if self.log_file:
             self.log_file.write("Started Transmitting at %s\n"
-                                % datetime.datetime.utcnow().isoformat())
+                                % datetime.datetime.now(datetime.timezone.utc).isoformat())
 
         self._tx_thread = None
         self._udp_thread = None

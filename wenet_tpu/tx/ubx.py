@@ -161,6 +161,9 @@ class UBloxGPS:
                  dynamic_model: int = DYNAMIC_MODEL_AIRBORNE1G,
                  debug_ptr=None, log_file: str | None = None,
                  reconnect_delay: float = 5.0):
+        self.port = port
+        self.baudrate = baudrate
+        self._own_transport = transport is None
         if transport is None:  # pragma: no cover - hardware only
             import serial
             transport = serial.Serial(port, baudrate, timeout=2)
@@ -267,6 +270,18 @@ class UBloxGPS:
                 self.write_state("numSV", 0)
                 time.sleep(self.reconnect_delay)
                 try:
+                    if self._own_transport:  # pragma: no cover - hardware
+                        # the device itself may have gone away: close and
+                        # re-open the port, as the reference does on failure
+                        # (ublox.py:1146-1156), rather than re-configuring a
+                        # dead file handle
+                        import serial
+                        try:
+                            self.transport.close()
+                        except Exception:
+                            pass
+                        self.transport = serial.Serial(
+                            self.port, self.baudrate, timeout=2)
                     self.setup()
                     self.debug_message("WARNING: GPS Re-connected.")
                 except Exception:
@@ -284,3 +299,8 @@ class UBloxGPS:
             self._thread.join(timeout=2.0)
         if self._log:
             self._log.close()
+        if self._own_transport:  # pragma: no cover - hardware only
+            try:
+                self.transport.close()
+            except Exception:
+                pass
