@@ -1,17 +1,28 @@
-"""Benchmark: full-chain RX throughput + LDPC decode rate on one chip.
+"""Benchmark: full-chain RX throughput, real-ingest streaming, LDPC rate.
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., ...extras}
 
 Baseline (BASELINE.md): the reference C chain decodes a 95 s Fs=921416
 capture in ~12 s on x86 => ~7.3 Msamples/s end-to-end, single core.
-Headline: end-to-end IQ Msamples/s through the full TPU chain (scan demod
-over a batch of independent v2-rate streams — the production sweep
-configuration), plus LDPC codewords/s.
+
+Stage order (headline FIRST so a slow-compile day still lands it within the
+watchdog; every stage records partials as it finishes):
+  1. full_chain_msps   — batched v2 Monte-Carlo chain (demod scan -> UW
+                         top-k deframe -> descramble -> BP decode -> CRC),
+                         B independent streams in one dispatch
+  2. stream_ingest     — REAL ingest: a cu8 capture at v2 flight rate pumped
+                         chunk-by-chunk through Receiver.push (host u8 ->
+                         complex conversion + H2D transfer included), both
+                         pipelined (PP: demod k+1 overlaps deframe k) and
+                         serial for comparison
+  3. ldpc rate         — decoder-only codewords/s
+  4. pallas rate       — optional (WENET_BENCH_PALLAS=1)
 
 Robustness: compile latency on tunnelled TPU backends can be pathological,
 so stages run under a watchdog — measured-so-far results are emitted and
-the process exits rather than hanging the driver.
+the process exits rather than hanging the driver.  A persistent JAX
+compilation cache (.jax_cache/) makes retried runs compile from cache.
 """
 import json
 import os
@@ -27,13 +38,21 @@ DONE = threading.Event()
 
 def emit():
     chain = RESULTS.get("full_chain_msps")
-    out = {
-        "metric": "full_chain_iq_throughput" if chain else "ldpc_decode_rate",
-        "value": round(chain, 2) if chain else
-        round(RESULTS.get("ldpc_codewords_per_s", 0.0), 0),
-        "unit": "Msamples/s/chip" if chain else "codewords/s",
-        "vs_baseline": round(chain / BASELINE_MSPS, 2) if chain else 0.0,
-    }
+    stream = RESULTS.get("stream_ingest_msps")
+    if chain:
+        metric, value, unit = ("full_chain_iq_throughput", round(chain, 2),
+                               "Msamples/s/chip")
+        vs = round(chain / BASELINE_MSPS, 2)
+    elif stream:
+        metric, value, unit = ("stream_ingest_throughput", round(stream, 2),
+                               "Msamples/s/chip")
+        vs = round(stream / BASELINE_MSPS, 2)
+    else:
+        metric, value, unit = ("ldpc_decode_rate",
+                               round(RESULTS.get("ldpc_codewords_per_s", 0.0),
+                                     0), "codewords/s")
+        vs = 0.0
+    out = {"metric": metric, "value": value, "unit": unit, "vs_baseline": vs}
     out.update({k: v for k, v in RESULTS.items()})
     print(json.dumps(out), flush=True)
 
@@ -45,27 +64,165 @@ def watchdog(seconds: float):
         os._exit(0)
 
 
-def main():
+def _stage(name):
+    """Decorator: run a stage, record its failure instead of dying."""
+    def wrap(fn):
+        def run(*a, **k):
+            try:
+                return fn(*a, **k)
+            except Exception as e:            # tunnelled-TPU flakiness
+                RESULTS[f"{name}_error"] = repr(e)[:160]
+                return None
+        return run
+    return wrap
+
+
+def make_packet_bits(cfg, n_packets, rng, gap_bits=512):
+    """Framed random packets with noise-bit gaps, padded to whole frames."""
+    from wenet_tpu.core import framing
+    from wenet_tpu.ops import ldpc
+    frames_bits = []
+    for _ in range(n_packets):
+        p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+        frame = framing.frame_packet(p, ldpc.encode_bytes, mode="v2")
+        frames_bits.append(framing.frame_to_bits(frame, "v2"))
+        frames_bits.append(rng.integers(0, 2, gap_bits).astype(np.uint8))
+    bits = np.concatenate(frames_bits)
+    return np.concatenate(
+        [bits, np.zeros((-len(bits)) % cfg.Nbits, np.uint8)])
+
+
+@_stage("chain")
+def stage_chain(reps=3):
+    """Headline: B independent v2 streams through the WHOLE chain on device."""
     import jax
     import jax.numpy as jnp
-    from wenet_tpu.core import framing
+    from wenet_tpu.ops import deframe, fsk
     from wenet_tpu.utils import compat
-    from wenet_tpu.ops import fsk, ldpc
-    from wenet_tpu.parallel import sweep
     from wenet_tpu.utils.rng import prng_key
 
-    dev = jax.devices()[0]
-    RESULTS["platform"] = dev.platform
+    cfg = fsk.V2_CONFIG                      # Fs=960000, Rs=96000
+    n_packets = 12
+    rng = np.random.default_rng(0)
+    bits = make_packet_bits(cfg, n_packets, rng)
+    sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
+    var = float(np.mean(np.abs(sig) ** 2))
+    sig_j = compat.put_complex(sig)
+    nf = cfg.num_frames(len(sig))
+    # B=256 saturates the chip (tools/chain_scaling.py: 3.1 GS/s @ B=8,
+    # 212 GS/s @ B>=256 -- per-dispatch tunnel latency amortizes out)
+    B = int(os.environ.get("WENET_BENCH_STREAMS", "256"))
+    ebnos = jnp.linspace(8.0, 15.0, B)
 
-    # ---------------- stage 1: LDPC decode rate (small, known-good compile)
+    @jax.jit
+    def chain(sig, keys, ebno_db):
+        # sig as an ARGUMENT: the axon backend rejects large embedded
+        # array constants (tools/tpu_bisect vmap_noise vs vmap_chain_arg)
+        # The WHOLE chain runs on device: demod scan -> UW top-k deframe
+        # -> descramble -> BP decode -> CRC gate.  NOTE (audit): only the
+        # CRC-ok count is fetched, so XLA dead-code-eliminates FrameOut
+        # fields that feed neither the soft bits nor the scan carry —
+        # that is the production sweep configuration, stated explicitly.
+        def one(k, e):
+            nvar = var * cfg.Fs / (cfg.Rs * 10.0 ** (e / 10.0))
+            z = jax.random.normal(k, (sig.shape[0], 2), jnp.float32)
+            iq = sig + jnp.sqrt(nvar / 2) * jax.lax.complex(z[:, 0], z[:, 1])
+            iq = iq / jnp.max(jnp.abs(iq))
+            _, outs = fsk.demod_stream(cfg, iq, nf)
+            _, ok, _, _ = deframe.deframe_topk(
+                outs.soft.reshape(-1), mode="v2", k=n_packets)
+            return jnp.sum(ok.astype(jnp.int32))
+        return jax.vmap(one)(keys, ebno_db)
+
+    keys = jax.random.split(prng_key(1), B)
+    t0 = time.perf_counter()
+    lowered = chain.lower(sig_j, keys, ebnos)
+    compiled = lowered.compile()
+    RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
+    try:   # XLA's own FLOP count of the optimized program (audit, VERDICT #2)
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        RESULTS["chain_xla_gflops"] = round(ca["flops"] / 1e9, 1)
+    except Exception:
+        pass
+    t0 = time.perf_counter()
+    ok = compiled(sig_j, keys, ebnos)
+    ok.block_until_ready()
+    RESULTS["chain_first_run_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    for r in range(reps):
+        ok = compiled(sig_j, jax.random.split(prng_key(2 + r), B), ebnos)
+    ok.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    RESULTS["packets_ok"] = int(np.asarray(ok).sum())
+    RESULTS["packets_sent"] = B * n_packets
+    msps = B * len(sig) / dt / 1e6
+    RESULTS["full_chain_msps"] = round(msps, 1)
+    RESULTS["realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)
+    RESULTS["batch_streams"] = B
+    if "chain_xla_gflops" in RESULTS:
+        RESULTS["chain_xla_tflops_per_s"] = round(
+            RESULTS["chain_xla_gflops"] / dt / 1e3, 1)
+
+
+@_stage("stream")
+def stage_stream(seconds=None):
+    """Real-ingest streaming: cu8 capture -> Receiver.push at flight rate.
+
+    Measures wall time INCLUDING host u8->complex conversion and H2D
+    transfer (the benchmarking/test_demod.py:82-118 contract), on the same
+    capture for pipelined (PP) and serial push paths."""
+    from wenet_tpu.ops import channel, fsk
+    from wenet_tpu.rx.pipeline import Receiver
+
+    cfg = fsk.V2_CONFIG
+    seconds = seconds or float(os.environ.get("WENET_BENCH_STREAM_SECS", 12))
+    rng = np.random.default_rng(3)
+    n_bits = int(seconds * cfg.Rs)
+    n_packets = max(n_bits // (343 * 8 + 512) - 1, 1)
+    bits = make_packet_bits(cfg, n_packets, rng)
+    sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
+    iq = channel.add_awgn(sig.astype(np.complex64), 12.0, cfg.Fs, cfg.Rs,
+                          rng=rng)
+    raw = fsk.iq_to_cu8(iq)                    # the rtl_sdr byte stream
+    RESULTS["stream_capture_s"] = round(len(iq) / cfg.Fs, 1)
+    RESULTS["stream_packets_sent"] = n_packets
+    chunk = int(cfg.Fs * 2.0) * 2              # 2 s of cu8 bytes per push
+
+    def run(pipelined):
+        rx = Receiver(mode="v2", pipelined=pipelined)
+        got = 0
+        t0 = time.perf_counter()
+        for i in range(0, len(raw), chunk):
+            got += len(rx.push(fsk.iq_from_cu8(raw[i:i + chunk])))
+        got += len(rx.flush())
+        return time.perf_counter() - t0, got
+
+    t0 = time.perf_counter()
+    _, got_warm = run(True)                    # compile pass
+    RESULTS["stream_compile_s"] = round(time.perf_counter() - t0, 1)
+    RESULTS["stream_packets_ok"] = got_warm
+    dt_pp, _ = run(True)
+    dt_serial, _ = run(False)
+    msps = len(iq) / dt_pp / 1e6
+    RESULTS["stream_ingest_msps"] = round(msps, 2)
+    RESULTS["stream_realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)
+    RESULTS["stream_serial_msps"] = round(len(iq) / dt_serial / 1e6, 2)
+    RESULTS["pp_speedup"] = round(dt_serial / dt_pp, 2)
+
+
+@_stage("ldpc")
+def stage_ldpc(reps=3):
+    import jax.numpy as jnp
+    from wenet_tpu.ops import ldpc
+
     nB = 512
     r2 = np.random.default_rng(1)
     ib = np.unpackbits(r2.integers(0, 256, (nB, 258), dtype=np.uint8), axis=1)
     cw = np.concatenate([ib, ldpc.encode_bits_np(ib)], axis=1)
     esn0 = 10 ** 0.75 * 0.8
     sd = (1 - 2.0 * cw) + r2.normal(0, np.sqrt(1 / (2 * esn0)), cw.shape)
-    llr = jnp.asarray(sweep.ldpc.sd_to_llr(jnp.asarray(sd, jnp.float32)))
-    reps = 3
+    llr = jnp.asarray(ldpc.sd_to_llr(jnp.asarray(sd, jnp.float32)))
     t0 = time.perf_counter()
     bits_out, _, _ = ldpc.decode(llr)
     bits_out.block_until_ready()
@@ -93,62 +250,25 @@ def main():
         except Exception as e:              # backend Pallas gaps: keep going
             RESULTS["pallas_error"] = repr(e)[:160]
 
-    # ---------------- stage 2: full-chain throughput (batched v2 streams)
-    cfg = fsk.V2_CONFIG                      # Fs=960000, Rs=96000
-    n_packets = 12
-    rng = np.random.default_rng(0)
-    frames_bits = []
-    for _ in range(n_packets):
-        p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
-        frame = framing.frame_packet(p, ldpc.encode_bytes, mode="v2")
-        frames_bits.append(framing.frame_to_bits(frame, "v2"))
-        frames_bits.append(rng.integers(0, 2, 512).astype(np.uint8))
-    bits = np.concatenate(frames_bits)
-    bits = np.concatenate([bits, np.zeros((-len(bits)) % cfg.Nbits, np.uint8)])
-    sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
-    var = float(np.mean(np.abs(sig) ** 2))
-    sig_j = compat.put_complex(sig)
-    nf = cfg.num_frames(len(sig))
-    # B=256 saturates the chip (tools/chain_scaling.py: 3.1 GS/s @ B=8,
-    # 212 GS/s @ B>=256 -- per-dispatch tunnel latency amortizes out)
-    B = int(os.environ.get("WENET_BENCH_STREAMS", "256"))
-    ebnos = jnp.linspace(8.0, 15.0, B)
 
-    from wenet_tpu.ops import deframe
+def main():
+    import jax
+    # persistent compilation cache: a retried bench (or a second run after a
+    # watchdog kill) compiles from cache instead of paying tunnel-compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
-    @jax.jit
-    def chain(sig, keys, ebno_db):
-        # sig as an ARGUMENT: the axon backend rejects large embedded
-        # array constants (tools/tpu_bisect vmap_noise vs vmap_chain_arg)
-        # The WHOLE chain runs on device: demod scan -> UW top-k deframe
-        # -> descramble -> BP decode -> CRC gate.
-        def one(k, e):
-            nvar = var * cfg.Fs / (cfg.Rs * 10.0 ** (e / 10.0))
-            z = jax.random.normal(k, (sig.shape[0], 2), jnp.float32)
-            iq = sig + jnp.sqrt(nvar / 2) * jax.lax.complex(z[:, 0], z[:, 1])
-            iq = iq / jnp.max(jnp.abs(iq))
-            _, outs = fsk.demod_stream(cfg, iq, nf)
-            _, ok, _, _ = deframe.deframe_topk(
-                outs.soft.reshape(-1), mode="v2", k=n_packets)
-            return jnp.sum(ok.astype(jnp.int32))
-        return jax.vmap(one)(keys, ebno_db)
-
-    keys = jax.random.split(prng_key(1), B)
-    t0 = time.perf_counter()
-    ok = chain(sig_j, keys, ebnos)
-    ok.block_until_ready()
-    RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
-    t0 = time.perf_counter()
-    for r in range(reps):
-        ok = chain(sig_j, jax.random.split(prng_key(2 + r), B), ebnos)
-    ok.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    RESULTS["packets_ok"] = int(np.asarray(ok).sum())
-    RESULTS["packets_sent"] = B * n_packets
-    msps = B * len(sig) / dt / 1e6
-    RESULTS["full_chain_msps"] = msps
-    RESULTS["realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)
-    RESULTS["batch_streams"] = B
+    dev = jax.devices()[0]
+    RESULTS["platform"] = dev.platform
+    stage_chain()
+    stage_stream()
+    stage_ldpc()
 
 
 if __name__ == "__main__":

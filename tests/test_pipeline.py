@@ -60,6 +60,27 @@ def test_streaming_equals_oneshot():
     assert len(got) >= 4
 
 
+def test_pipelined_streaming_equals_serial():
+    """PP mode (demod of chunk k+1 overlapping deframe of chunk k) must
+    produce byte-identical payloads and stats to the serial push path."""
+    rng = np.random.default_rng(27)
+    sig, payloads = make_capture(6, rng)
+    iq = channel.add_awgn(sig, 9.5, CFG.Fs, CFG.Rs, rng=rng)
+
+    rx_serial = Receiver(mode="v2", cfg=CFG)
+    rx_pp = Receiver(mode="v2", cfg=CFG, pipelined=True)
+    serial, pp = [], []
+    chunk = 37 * CFG.N + 13
+    for i in range(0, len(iq), chunk):
+        serial.extend(rx_serial.push(iq[i:i + chunk]))
+        pp.extend(rx_pp.push(iq[i:i + chunk]))
+    pp.extend(rx_pp.flush())
+    assert pp == serial
+    assert rx_pp.stats.crc_ok == rx_serial.stats.crc_ok
+    assert rx_pp.stats.frames == rx_serial.stats.frames
+    assert rx_pp.stats.samples == rx_serial.stats.samples
+
+
 @needs_ref
 def test_full_chain_matches_reference():
     """Byte parity of CRC-valid payload output vs fsk_demod | wenet_ldpc on

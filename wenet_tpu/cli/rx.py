@@ -69,6 +69,10 @@ def add_args(ap: argparse.ArgumentParser):
                          "the SDR tuning is unknown; 0 = off")
     ap.add_argument("--throttle", action="store_true",
                     help="pace file input at real time (rx/play_iq.py role)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="overlap device demod of chunk k+1 with host "
+                         "deframe of chunk k (pipeline parallelism; "
+                         "payloads arrive one chunk later)")
     ap.add_argument("--channels", type=int, default=0, metavar="N",
                     help="wideband mode: polyphase-channelize the capture "
                          "into N channels of --fs each and demod them all in "
@@ -95,7 +99,8 @@ def main(argv=None):
     if args.est_min is not None or args.est_max is not None:
         limits = (args.est_min if args.est_min is not None else cfg.est_min,
                   args.est_max if args.est_max is not None else cfg.est_max)
-    rx = Receiver(mode=args.mode, cfg=cfg, estimator_limits=limits)
+    rx = Receiver(mode=args.mode, cfg=cfg, estimator_limits=limits,
+                  pipelined=args.pipelined)
     emitter = UDPEmitter(enabled=not args.no_udp)
     router = PacketRouter(image_dir=args.image_dir, log_dir=args.log_dir,
                           partial_update=args.partialupdate,
@@ -196,6 +201,8 @@ def main(argv=None):
                     rxstats.send_modem_stats(stats_acc.to_wire())
                 last_stats = now
     finally:
+        for payload in rx.flush():        # drain the in-flight chunk (PP)
+            router.handle_packet(payload)
         router.flush()
         if fin is not sys.stdin.buffer:
             fin.close()

@@ -175,10 +175,19 @@ class Receiver:
       mode: 'v1' or 'v2' (selects modem geometry and deframer variant)
       cfg:  optional FSKConfig override (e.g. scaled rates for tests)
       estimator_limits: optional (min_hz, max_hz) like fsk_demod -b/-u
+      pipelined: overlap the device demod of chunk k+1 with the host-side
+        deframe of chunk k (the PP the reference gets from its Unix-pipe
+        process stages, SURVEY.md §2.3): each push first retires the carry
+        state of the in-flight chunk, queues the new chunk's demod on the
+        device, and only then does the host-side work — asarray transfer,
+        UW correlation, candidate gather — for the previous chunk while
+        the device runs. Payloads therefore arrive one push late; call
+        flush() at end-of-stream. Output is identical to the serial path.
     """
 
     def __init__(self, mode: str = "v2", cfg: fsk.FSKConfig | None = None,
-                 estimator_limits: tuple | None = None, max_iter: int = 10):
+                 estimator_limits: tuple | None = None, max_iter: int = 10,
+                 pipelined: bool = False):
         self.mode = mode
         base = MODE_CONFIGS[mode] if cfg is None else cfg
         if estimator_limits is not None:
@@ -189,6 +198,8 @@ class Receiver:
         self.state = None            # DemodState, created lazily
         self._history = np.zeros(0, np.complex64)
         self.stats = RxStats()
+        self.pipelined = pipelined
+        self._pending = None         # (final_dev, outs_dev, buf, n_new)
 
     # ------------------------------------------------------------- one-shot
 
@@ -196,6 +207,7 @@ class Receiver:
         """Decode a whole capture; returns the CRC-valid payloads in order.
         Equivalent to the full fsk_demod | {wenet,drs232}_ldpc pipeline."""
         payloads = self.push(iq)
+        payloads += self.flush()
         return payloads
 
     def decode_file(self, path: str, fmt: str = "cu8") -> list:
@@ -205,11 +217,9 @@ class Receiver:
 
     # ------------------------------------------------------------ streaming
 
-    def push(self, iq_chunk: np.ndarray) -> list:
-        """Feed IQ samples; returns newly-completed CRC-valid payloads."""
-        import jax
-        import jax.numpy as jnp
-
+    def _dispatch(self, iq_chunk: np.ndarray):
+        """Queue the demod scan for a chunk on the device; returns the
+        in-flight (final, outs, buf, n_new) or None if not enough samples."""
         cfg = self.cfg
         iq_chunk = np.asarray(iq_chunk, np.complex64)
         buf = np.concatenate([self._history, iq_chunk])
@@ -219,7 +229,7 @@ class Receiver:
         nf = cfg.num_frames(max(len(buf) - start_pos, 0))
         if nf <= 0 or len(buf) < int(self.state.nin):
             self._history = buf
-            return []
+            return None
         # bucket shapes: pad the buffer and round the frame count so repeated
         # pushes of similar size reuse one compiled program
         nf = -(-nf // 32) * 32
@@ -228,20 +238,31 @@ class Receiver:
         padded[: len(buf)] = buf
         final, outs = fsk.demod_stream(cfg, compat.put_complex(padded), nf,
                                        self.state, n_valid=len(buf))
-        outs = jax.tree.map(np.asarray, outs)
-        valid = outs.valid
-        soft = outs.soft[valid].reshape(-1)
-        nframes = int(valid.sum())
+        return final, outs, buf, len(iq_chunk)
 
-        # retain history for the next chunk's old-sample window and estimator
+    def _retire_state(self, final, buf: np.ndarray):
+        """Fold the in-flight chunk's scan carry back into host state
+        (blocks only on the small DemodState, not the per-frame outputs)."""
+        import jax
+
+        cfg = self.cfg
         final = jax.tree.map(np.asarray, final)
         end_pos = int(final.pos)
         keep = min(end_pos, cfg.Nmem)
         self._history = buf[end_pos - keep:]
         self.state = final._replace(pos=np.int32(keep))
 
+    def _complete(self, outs, n_new: int) -> list:
+        """Host-side half: transfer frame outputs, deframe, decode, CRC."""
+        import jax
+
+        outs = jax.tree.map(np.asarray, outs)
+        valid = outs.valid
+        soft = outs.soft[valid].reshape(-1)
+        nframes = int(valid.sum())
+
         self.stats.frames += nframes
-        self.stats.samples += len(iq_chunk)
+        self.stats.samples += n_new
         if nframes:
             last = np.flatnonzero(valid)[-1]
             self.stats.ebno_db = float(outs.ebno_db[last])
@@ -252,3 +273,36 @@ class Receiver:
         self.stats.detections = self.deframer.n_detections
         self.stats.crc_ok = self.deframer.n_crc_ok
         return payloads
+
+    def push(self, iq_chunk: np.ndarray) -> list:
+        """Feed IQ samples; returns newly-completed CRC-valid payloads
+        (from the previous chunk when pipelined)."""
+        if not self.pipelined:
+            inflight = self._dispatch(iq_chunk)
+            if inflight is None:
+                return []
+            final, outs, buf, n_new = inflight
+            self._retire_state(final, buf)
+            return self._complete(outs, n_new)
+
+        payloads = []
+        if self._pending is not None:
+            final, outs, buf, n_prev = self._pending
+            self._pending = None
+            # carry state first (cheap), THEN queue the next chunk's demod,
+            # THEN do chunk k's host-side work while the device runs k+1
+            self._retire_state(final, buf)
+            self._pending = self._dispatch(iq_chunk)
+            payloads = self._complete(outs, n_prev)
+        else:
+            self._pending = self._dispatch(iq_chunk)
+        return payloads
+
+    def flush(self) -> list:
+        """Drain the in-flight chunk (pipelined mode); serial mode no-op."""
+        if self._pending is None:
+            return []
+        final, outs, buf, n_new = self._pending
+        self._pending = None
+        self._retire_state(final, buf)
+        return self._complete(outs, n_new)
