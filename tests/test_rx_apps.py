@@ -54,6 +54,22 @@ def test_receiver_stats_record():
     assert abs(rec["f1_est"] - 19200) < cfg.Fs / cfg.Ndft
     assert len(rec["samp_fft"]) == cfg.Ndft // 2
 
+    # eye traces flow end-to-end: IQ -> Receiver -> stats record ->
+    # FSKDemodStats wire message -> GUI model (fsk_demod.c:366-377 parity)
+    eye = rec["eye_diagram"]
+    neyesamp = (2 * cfg.P) // int(np.ceil(2 * cfg.P / 160))
+    assert len(eye) == 8 and len(eye[0]) == neyesamp
+    assert max(max(r) for r in eye) == 1.0          # normalised to 1
+    # alternating tone rows: eye openings differ between rows
+    assert np.std(np.asarray(eye)) > 0.01
+    acc = rxstats.FSKDemodStats(averaging_time=1.0, sample_rate=cfg.Fs)
+    acc.update(rec)
+    assert acc.to_wire()["eye_diagram"] == eye
+    from wenet_tpu.rx.gui import ModemStatsModel
+    m = ModemStatsModel()
+    m.update(acc.to_wire() | rec)      # GUI consumes the stats vocabulary
+    assert m.eye is not None and m.eye.shape == (8, neyesamp)
+
 
 def test_telemetry_console_receives_broadcast():
     port = _free_port()

@@ -447,9 +447,10 @@ def eye_diagram(f_int: np.ndarray, P: int, high_sample: int, M: int,
 # ------------------------------------------------------------ stream driver
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_frames"))
+@partial(jax.jit, static_argnames=("cfg", "num_frames", "with_eye"))
 def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
-                 state: DemodState | None = None, n_valid=None):
+                 state: DemodState | None = None, n_valid=None,
+                 with_eye: bool = False):
     """Demodulate a capture: iq (n,) complex64 -> per-frame FrameOut stack.
 
     The fread(nin)/samp_old state machine (fsk_demod.c:270, fsk.c:187-199)
@@ -461,6 +462,12 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
     n_valid: optional traced count of real samples in `iq` (the rest being
     padding), so streaming callers can bucket buffer shapes without
     recompiling.
+
+    with_eye: additionally return (f_int, high_sample) of the LAST valid
+    frame — the integrator outputs the eye diagram is traced from
+    (fsk.c:1031-1079; emitted in fsk_demod's --stats JSON, fsk_demod.c:
+    366-377).  Carried through the scan, so the cost is one where-select
+    of a (M, (Nsym+1)*P) array per frame.
     """
     n = iq.shape[0] if n_valid is None else n_valid
     if state is None:
@@ -476,18 +483,32 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
         jnp.zeros(pad_front, jnp.complex64), iq.astype(jnp.complex64),
         jnp.zeros(pad_back, jnp.complex64)])
 
-    def step(st: DemodState, _):
+    def step(carry, _):
+        st = carry[0] if with_eye else carry
         valid = st.pos + st.nin <= n
         nold = cfg.Nmem - st.nin
         start = pad_front + st.pos - nold
         stream = jax.lax.dynamic_slice(buf, (start,), (cfg.Nmem,))
         new_blocks = jax.lax.dynamic_slice(
             buf, (pad_front + st.pos,), (cfg.Ndft * cfg.max_fft_blocks,))
-        nst, out = _demod_frame(cfg, st, stream, new_blocks, hann)
+        if with_eye:
+            nst, out, probe = _demod_frame(cfg, st, stream, new_blocks, hann,
+                                           with_probe=True)
+            eye = jax.tree.map(
+                lambda a, b: jnp.where(valid, a, b),
+                (probe["f_int"], probe["high_sample"]), carry[1])
+        else:
+            nst, out = _demod_frame(cfg, st, stream, new_blocks, hann)
         nst = jax.tree.map(lambda a, b: jnp.where(valid, a, b), nst, st)
         out = out._replace(valid=valid)
-        return nst, out
+        return ((nst, eye) if with_eye else nst), out
 
+    if with_eye:
+        eye0 = (jnp.zeros((cfg.M, (cfg.Nsym + 1) * cfg.P), jnp.complex64),
+                jnp.zeros((), jnp.int32))
+        (final, eye), outs = jax.lax.scan(step, (state, eye0), None,
+                                          length=num_frames)
+        return final, outs, eye
     final, outs = jax.lax.scan(step, state, None, length=num_frames)
     return final, outs
 

@@ -199,7 +199,8 @@ class Receiver:
         self._history = np.zeros(0, np.complex64)
         self.stats = RxStats()
         self.pipelined = pipelined
-        self._pending = None         # (final_dev, outs_dev, buf, n_new)
+        self._pending = None         # (final_dev, outs_dev, eye_dev, buf, n)
+        self.last_eye = None         # (f_int (M,(Nsym+1)P) c64, high int)
 
     # ------------------------------------------------------------- one-shot
 
@@ -236,9 +237,10 @@ class Receiver:
         blen = -(-len(buf) // (32 * cfg.N)) * (32 * cfg.N)
         padded = np.zeros(blen, np.complex64)
         padded[: len(buf)] = buf
-        final, outs = fsk.demod_stream(cfg, compat.put_complex(padded), nf,
-                                       self.state, n_valid=len(buf))
-        return final, outs, buf, len(iq_chunk)
+        final, outs, eye = fsk.demod_stream(
+            cfg, compat.put_complex(padded), nf, self.state,
+            n_valid=len(buf), with_eye=True)
+        return final, outs, eye, buf, len(iq_chunk)
 
     def _retire_state(self, final, buf: np.ndarray):
         """Fold the in-flight chunk's scan carry back into host state
@@ -252,7 +254,7 @@ class Receiver:
         self._history = buf[end_pos - keep:]
         self.state = final._replace(pos=np.int32(keep))
 
-    def _complete(self, outs, n_new: int) -> list:
+    def _complete(self, outs, eye, n_new: int) -> list:
         """Host-side half: transfer frame outputs, deframe, decode, CRC."""
         import jax
 
@@ -260,6 +262,8 @@ class Receiver:
         valid = outs.valid
         soft = outs.soft[valid].reshape(-1)
         nframes = int(valid.sum())
+        if nframes:   # last valid frame's integrator outputs (eye source)
+            self.last_eye = (compat.get_complex(eye[0]), int(eye[1]))
 
         self.stats.frames += nframes
         self.stats.samples += n_new
@@ -281,19 +285,19 @@ class Receiver:
             inflight = self._dispatch(iq_chunk)
             if inflight is None:
                 return []
-            final, outs, buf, n_new = inflight
+            final, outs, eye, buf, n_new = inflight
             self._retire_state(final, buf)
-            return self._complete(outs, n_new)
+            return self._complete(outs, eye, n_new)
 
         payloads = []
         if self._pending is not None:
-            final, outs, buf, n_prev = self._pending
+            final, outs, eye, buf, n_prev = self._pending
             self._pending = None
             # carry state first (cheap), THEN queue the next chunk's demod,
             # THEN do chunk k's host-side work while the device runs k+1
             self._retire_state(final, buf)
             self._pending = self._dispatch(iq_chunk)
-            payloads = self._complete(outs, n_prev)
+            payloads = self._complete(outs, eye, n_prev)
         else:
             self._pending = self._dispatch(iq_chunk)
         return payloads
@@ -302,7 +306,7 @@ class Receiver:
         """Drain the in-flight chunk (pipelined mode); serial mode no-op."""
         if self._pending is None:
             return []
-        final, outs, buf, n_new = self._pending
+        final, outs, eye, buf, n_new = self._pending
         self._pending = None
         self._retire_state(final, buf)
-        return self._complete(outs, n_new)
+        return self._complete(outs, eye, n_new)

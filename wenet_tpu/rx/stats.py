@@ -46,6 +46,7 @@ class FSKDemodStats:
         self.fft_freq = []
         self.ppm = 0.0
         self.fcentre = freq
+        self.eye = []          # latest eye-diagram traces (list of lists)
 
     def update(self, data):
         """Accept one stats record: JSON string or dict with
@@ -67,6 +68,8 @@ class FSKDemodStats:
                 return
 
         now = time.time()
+        if data.get("eye_diagram"):
+            self.eye = data["eye_diagram"]
         self.fft = np.array(data["samp_fft"])
         self.fest[0] = data["f1_est"]
         self.fest[1] = data["f2_est"]
@@ -101,19 +104,22 @@ class FSKDemodStats:
             "fest": self.fest,
             "freq": self.freq,
             "fcentre": self.fcentre,
+            "eye_diagram": self.eye,
             "time": datetime.datetime.now(datetime.timezone.utc).strftime(
                 "%Y-%m-%d %H:%M:%SZ"),
         }
 
 
 def receiver_stats_record(rx) -> dict:
-    """Build an fsk_demod-compatible stats record from a live Receiver
-    (the `--stats` JSON of fsk_demod.c:345-401, minus the eye diagram)."""
+    """Build an fsk_demod-compatible stats record from a live Receiver —
+    the `--stats` JSON of fsk_demod.c:345-401, INCLUDING the eye-diagram
+    traces (fsk_demod.c:366-377) from the last demodulated frame's
+    integrator outputs."""
     st = rx.state
     if st is None:
         return {}
     fft_est = np.asarray(st.fft_est)
-    return {
+    rec = {
         "secs": int(time.time()),
         "EbNodB": float(np.asarray(st.ebno_db)),
         "ppm": int(float(np.asarray(st.ppm))),
@@ -121,6 +127,12 @@ def receiver_stats_record(rx) -> dict:
         "f2_est": float(np.asarray(st.f_est)[1]),
         "samp_fft": [float(x) for x in fft_est],
     }
+    if getattr(rx, "last_eye", None) is not None:
+        from ..ops import fsk
+        f_int, high = rx.last_eye
+        eye = fsk.eye_diagram(f_int, rx.cfg.P, high, rx.cfg.M)
+        rec["eye_diagram"] = [[float(x) for x in row] for row in eye]
+    return rec
 
 
 def send_modem_stats(stats: dict, udp_port: int = WENET_IMAGE_UDP_PORT):
