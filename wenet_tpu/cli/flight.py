@@ -18,7 +18,9 @@ def main(argv=None):
     ap.add_argument("--images-dir", required=True,
                     help="directory of JPEGs for the FileCamera")
     ap.add_argument("--out", required=True,
-                    help="IQ .c64 file or udp:host:port sink")
+                    help="IQ .c64 file, udp:host:port sink, "
+                         "serial:/dev/ttyAMA0 (v1 UART modulation), or "
+                         "alsa:hw:CARD=i2smaster,DEV=0 (v2 I2S modulation)")
     ap.add_argument("--fs", type=int, default=None)
     ap.add_argument("--rs", type=int, default=None)
     ap.add_argument("--duration", type=float, default=30.0,
@@ -43,6 +45,14 @@ def main(argv=None):
     if args.out.startswith("udp:"):
         _, host, port = args.out.split(":")
         radio = UDPRadio(host, int(port), mode=args.mode)
+    elif args.out.startswith("serial:"):   # pragma: no cover - hardware only
+        from ..tx import RFM98W_Serial
+        radio = RFM98W_Serial(serial_port=args.out[len("serial:"):],
+                              baudrate=cfg.Rs)
+    elif args.out.startswith("alsa:"):     # pragma: no cover - hardware only
+        from ..tx import RFM98W_I2S
+        radio = RFM98W_I2S(audio_device=args.out[len("alsa:"):],
+                           baudrate=cfg.Rs)
     else:
         fout = open(args.out, "wb")
         radio = IQRadio(lambda iq: fout.write(iq.tobytes()), cfg=cfg,

@@ -13,8 +13,22 @@ with software backends:
   * UDPRadio       — framed packets over UDP (tx/examples/
                      wenet_link_emulation.py equivalent, zero-RF testing)
 
-Hardware SPI/UART/I2S backends are deliberately out of scope on this
-platform; the IQRadio output is bit-compatible with what the RFM98W emits.
+plus the two actual on-air hardware paths of the reference:
+
+  * RFM98W_Serial  — v1: framed bytes written to a UART whose TX line keys
+                     the RFM98W's DIO2 pin; the UART's own 10-bit framing
+                     (start + 8 data LSB-first + stop) IS the v1 RS232
+                     on-air expansion (radio_wrappers.py:214-280)
+  * RFM98W_I2S     — v2: each byte expanded MSB-first into bytes_per_bit
+                     0xFF/0x00 bytes and streamed out of the Pi's I2S data
+                     line via ALSA at an audio rate chosen so the line
+                     toggles at exactly the baud rate
+                     (radio_wrappers.py:283-460; deploy/i2smaster.dts)
+
+serial/alsaaudio are import-gated: on this platform the transports accept
+any object with write() so the exact byte streams are testable; the
+modulation byte streams are oracle-verified against drs232_ldpc/wenet_ldpc
+in tests/test_tx_transports.py.
 """
 from __future__ import annotations
 
@@ -24,6 +38,38 @@ import numpy as np
 
 from ..core import framing
 from ..ops import fsk
+
+
+# --------------------------------------------------------- I2S bit plumbing
+
+I2S_CHANNELS = 2          # stereo frame on the PCM bus
+I2S_WIDTH_BYTES = 2       # S16 samples
+_I2S_RATES = (8000, 16000, 22050, 44100, 48000, 96000, 176400, 192000)
+
+
+def i2s_audio_params(baudrate: int) -> tuple[int, int]:
+    """Pick the lowest standard audio rate whose I2S line bit rate is a
+    whole number of BYTES per modem bit (radio_wrappers.py:302-332).
+    Returns (audio_rate_hz, bytes_per_modem_bit)."""
+    for rate in _I2S_RATES:
+        line_bps = rate * I2S_CHANNELS * I2S_WIDTH_BYTES * 8
+        if line_bps % (8 * baudrate) == 0 and line_bps >= 8 * baudrate:
+            return rate, line_bps // (8 * baudrate)
+    raise ValueError(f"baudrate {baudrate} not representable on the I2S bus")
+
+
+def i2s_expand(data: bytes, bytes_per_bit: int) -> bytes:
+    """Byte stream -> I2S sample bytes: bits MSB-first, each repeated as
+    bytes_per_bit 0xFF/0x00 bytes (the byte->samples LUT of
+    radio_wrappers.py:407-417, vectorised)."""
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    return np.repeat(bits * np.uint8(0xFF), bytes_per_bit).tobytes()
+
+
+def i2s_line_bits(stream: bytes, bytes_per_bit: int) -> np.ndarray:
+    """Inverse of i2s_expand: recover the modem bits the RF sees on DIO2."""
+    b = np.frombuffer(stream, np.uint8)[::bytes_per_bit]
+    return (b > 0x7F).astype(np.uint8)
 
 
 class _RadioBase:
@@ -124,6 +170,127 @@ class BinaryDebugRadio(_RadioBase):
 
     def shutdown(self) -> None:
         self._f.close()
+
+
+class _RS232DebugFile:
+    """Fallback 'UART': writes the 10-bit RS232 expansion one byte per bit
+    (0x00/0x01) for codec2's fsk modulator — what the reference's
+    BinaryDebug does when no serial port is given (radio_wrappers.py:
+    544-563, 251-253)."""
+
+    def __init__(self, path: str = "binary_debug.bin"):
+        self._f = open(path, "wb")
+
+    def write(self, data: bytes):
+        self._f.write(framing.rs232_expand(data).tobytes())
+
+    def close(self):
+        self._f.close()
+
+
+class RFM98W_Serial(_RadioBase):
+    """v1 on-air path: RFM98W in direct-asynchronous FSK mode keyed by a
+    UART TX line on DIO2 (radio_wrappers.py:214-280).
+
+    transmit_packet writes the framed bytes straight to the serial device;
+    the UART's hardware framing (start bit + 8 data bits LSB-first + stop
+    bit) performs the v1 RS232 expansion on the wire, so the on-air bit
+    stream is framing.rs232_expand(frame). The SX127x is configured through
+    the register-level driver (frequency, deviation table, power LUT) and
+    re-initialised every `reinit_count` packets like the reference.
+
+    transport: any object with write(bytes) (a pyserial Serial, a file,
+    an in-memory sink for tests). serial_port opens pyserial. With
+    neither, falls back to an RS232-bit debug file as the reference does.
+    """
+
+    mode = "v1"
+
+    def __init__(self, transport=None, serial_port: str | None = None,
+                 baudrate: int = 115200, frequency_hz: float = 443.5e6,
+                 tx_power_dbm: int = 10, reinit_count: int = 5000,
+                 spi_transport=None):
+        from . import sx127x
+        self.radio = sx127x.RFM98W(
+            frequency_hz=frequency_hz, baudrate=baudrate,
+            tx_power_dbm=tx_power_dbm, reinit_count=reinit_count,
+            transport=spi_transport)
+        if not self.radio.start():
+            raise RuntimeError("RFM98W failed to initialise")
+        if transport is not None:
+            self.serial = transport
+        elif serial_port:  # pragma: no cover - hardware only
+            import serial
+            self.serial = serial.Serial(serial_port, baudrate)
+        else:
+            self.serial = _RS232DebugFile()
+
+    def transmit_packet(self, frame: bytes) -> None:
+        self.serial.write(frame)
+        self.radio.on_packet_transmitted()
+
+    def shutdown(self) -> None:
+        try:
+            self.serial.close()
+        except Exception:
+            pass
+        self.radio.shutdown()
+
+
+class RFM98W_I2S(_RadioBase):
+    """v2 on-air path: RFM98W keyed by the Pi's I2S data line via ALSA
+    (radio_wrappers.py:283-460; the Pi is made I2S clock master by
+    deploy/i2smaster.dts so the line toggles at an exact rate).
+
+    Each framed byte expands MSB-first to `bytes_per_bit` 0xFF/0x00 sample
+    bytes; at the chosen audio rate the PCM bus shifts one modem bit per
+    1/baud. The post-UW body is XOR-scrambled by _RadioBase.scramble
+    (mode 'v2').
+
+    pcm: any object with write(bytes) (optionally setperiodsize/setrate/
+    setchannels) — an alsaaudio.PCM, or an in-memory sink for tests.
+    """
+
+    mode = "v2"
+
+    def __init__(self, pcm=None, audio_device: str = "hw:CARD=i2smaster,DEV=0",
+                 baudrate: int = 96000, frequency_hz: float = 443.5e6,
+                 tx_power_dbm: int = 10, reinit_count: int = 5000,
+                 spi_transport=None):
+        from . import sx127x
+        self.audio_rate, self.bytes_per_bit = i2s_audio_params(baudrate)
+        self.radio = sx127x.RFM98W(
+            frequency_hz=frequency_hz, baudrate=baudrate,
+            tx_power_dbm=tx_power_dbm, reinit_count=reinit_count,
+            transport=spi_transport)
+        if not self.radio.start():
+            raise RuntimeError("RFM98W failed to initialise")
+        if pcm is not None:
+            self.pcm = pcm
+        else:  # pragma: no cover - hardware only
+            import alsaaudio
+            self.pcm = alsaaudio.PCM(device=audio_device)
+            if self.pcm.setrate(self.audio_rate) != self.audio_rate:
+                raise RuntimeError("could not set I2S audio rate")
+            if self.pcm.setchannels(I2S_CHANNELS) != I2S_CHANNELS:
+                raise RuntimeError("could not set I2S channel count")
+        self._periodsize = None
+
+    def transmit_packet(self, frame: bytes) -> None:
+        buf = i2s_expand(frame, self.bytes_per_bit)
+        nframes = len(buf) // (I2S_CHANNELS * I2S_WIDTH_BYTES)
+        if self._periodsize != nframes and hasattr(self.pcm, "setperiodsize"):
+            self.pcm.setperiodsize(nframes)      # one ALSA period per packet
+            self._periodsize = nframes
+        self.pcm.write(buf)
+        self.radio.on_packet_transmitted()
+
+    def shutdown(self) -> None:
+        try:
+            self.pcm.close()
+        except Exception:
+            pass
+        self.radio.shutdown()
 
 
 class UDPRadio(_RadioBase):
