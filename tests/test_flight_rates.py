@@ -1,0 +1,89 @@
+"""REAL flight-rate regression tests (VERDICT r1 #3): the scaled-geometry
+tests elsewhere can pass while flight-rate decode silently breaks, so these
+run the actual on-air configurations from start_rx.sh:31-42 —
+v1 Fs=921416/Rs=115177 and v2 Fs=960000/Rs=96000 — against the reference C
+chain on short captures, plus a committed golden PER-vs-Eb/N0 point table
+(the benchmarking/README.md:63-86 contract, shrunk to unit-test size)."""
+import subprocess
+
+import numpy as np
+import pytest
+
+import refbins
+from wenet_tpu.core import framing
+from wenet_tpu.ops import channel, fsk, ldpc
+from wenet_tpu.rx.pipeline import Receiver
+
+needs_ref = pytest.mark.skipif(
+    not refbins.reference_available(), reason="reference tree/gcc unavailable")
+
+
+def make_flight_capture(cfg, mode, n_packets, rng, ebno_db):
+    payloads, bits = [], [rng.integers(0, 2, cfg.Nbits * 4).astype(np.uint8)]
+    for _ in range(n_packets):
+        p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+        payloads.append(p)
+        frame = framing.frame_packet(p, ldpc.encode_bytes, mode=mode)
+        bits.append(framing.frame_to_bits(frame, mode))
+        bits.append(rng.integers(0, 2, 512).astype(np.uint8))
+    stream = np.concatenate(bits)
+    stream = np.concatenate(
+        [stream, np.zeros((-len(stream)) % cfg.Nbits, np.uint8)])
+    sig, _ = fsk.fsk_mod_np(cfg, stream, 2 * cfg.Rs, cfg.Rs)
+    iq = channel.add_awgn(sig.astype(np.complex64), ebno_db, cfg.Fs, cfg.Rs,
+                          rng=rng)
+    return fsk.iq_to_cu8(iq), payloads
+
+
+def run_reference(raw, cfg, ldpc_bin):
+    p1 = subprocess.run(
+        [refbins.fsk_demod(), "--cu8", "-s", "2", str(cfg.Fs), str(cfg.Rs),
+         "-", "-"], input=raw.tobytes(), capture_output=True, check=True)
+    p2 = subprocess.run([ldpc_bin, "-", "-"], input=p1.stdout,
+                        capture_output=True, check=True)
+    return [p2.stdout[i:i + 256] for i in range(0, len(p2.stdout), 256)]
+
+
+@needs_ref
+def test_v2_flight_rate_oracle_parity():
+    """v2 @ Fs=960000/Rs=96000: ~1 s capture, byte parity vs the C chain."""
+    cfg = fsk.V2_CONFIG
+    rng = np.random.default_rng(101)
+    raw, payloads = make_flight_capture(cfg, "v2", 24, rng, 12.0)
+    ref = run_reference(raw, cfg, refbins.wenet_ldpc())
+    rx = Receiver(mode="v2")
+    ours = rx.decode_iq(fsk.iq_from_cu8(raw))
+    assert ours == ref
+    assert len(ours) >= 23          # all but (at most) the warmup packet
+
+
+@needs_ref
+def test_v1_flight_rate_oracle_parity():
+    """v1 @ Fs=921416/Rs=115177 (RS232 framing): parity vs drs232_ldpc."""
+    cfg = fsk.V1_CONFIG
+    rng = np.random.default_rng(102)
+    raw, payloads = make_flight_capture(cfg, "v1", 24, rng, 12.0)
+    ref = run_reference(raw, cfg, refbins.drs232_ldpc())
+    rx = Receiver(mode="v1")
+    ours = rx.decode_iq(fsk.iq_from_cu8(raw))
+    assert ours == ref
+    assert len(ours) >= 23
+
+
+def test_v1_flight_rate_per_curve_golden():
+    """Committed golden PER points at the v1 decode cliff.  The reference's
+    measured table (benchmarking/README.md:63-86: 0 decodes <=7 dB, ~50%
+    PER near 8.5 dB, complete >=9.5-10 dB) came from a REAL recorded
+    capture; on the clean synthetic AWGN channel used here the same cliff
+    shape sits ~1.5 dB lower (0 at <=6.5, ~50% at 7.0, complete at 8.0 —
+    measured once and committed).  Fixed seeds; wide tolerance bands absorb
+    cross-version float drift in the AWGN draw while still catching any
+    real sensitivity regression."""
+    cfg = fsk.V1_CONFIG
+    golden = {6.0: (0, 1), 7.0: (4, 16), 8.0: (19, 20)}
+    for ebno, (lo, hi) in golden.items():
+        rng = np.random.default_rng(7000 + int(ebno * 10))
+        raw, _ = make_flight_capture(cfg, "v1", 20, rng, ebno)
+        rx = Receiver(mode="v1")
+        got = len(rx.decode_iq(fsk.iq_from_cu8(raw)))
+        assert lo <= got <= hi, (ebno, got)
