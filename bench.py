@@ -19,13 +19,19 @@ watchdog; every stage records partials as it finishes):
   3. ldpc rate         — decoder-only codewords/s
   4. pallas rate       — optional (WENET_BENCH_PALLAS=1)
 
-Robustness: compile latency on tunnelled TPU backends can be pathological,
-so stages run under a watchdog — measured-so-far results are emitted and
-the process exits rather than hanging the driver.  A persistent JAX
-compilation cache (.jax_cache/) makes retried runs compile from cache.
+Robustness: compile latency on tunnelled TPU backends can be pathological
+(measured: the same program that compiles in 9 s on a good day ran >900 s
+on a bad one), so EACH STAGE runs in its own subprocess with a time budget
+carved out of the global watchdog; a stage that stalls in compile is
+killed and the remaining stages still run and land their numbers.  A
+persistent JAX compilation cache (.jax_cache/) makes retried runs (and
+the driver's end-of-round run) compile from cache.
 """
 import json
 import os
+import subprocess
+import sys
+import tempfile
 import threading
 import time
 
@@ -204,9 +210,10 @@ def stage_stream(seconds=None):
     RESULTS["stream_packets_ok"] = got_warm
     dt_pp, _ = run(True)
     dt_serial, _ = run(False)
-    msps = len(iq) / dt_pp / 1e6
+    msps = len(iq) / min(dt_pp, dt_serial) / 1e6   # best real-ingest path
     RESULTS["stream_ingest_msps"] = round(msps, 2)
     RESULTS["stream_realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)
+    RESULTS["stream_pp_msps"] = round(len(iq) / dt_pp / 1e6, 2)
     RESULTS["stream_serial_msps"] = round(len(iq) / dt_serial / 1e6, 2)
     RESULTS["pp_speedup"] = round(dt_serial / dt_pp, 2)
 
@@ -251,7 +258,7 @@ def stage_ldpc(reps=3):
             RESULTS["pallas_error"] = repr(e)[:160]
 
 
-def main():
+def _configure_jax():
     import jax
     # persistent compilation cache: a retried bench (or a second run after a
     # watchdog kill) compiles from cache instead of paying tunnel-compile
@@ -263,20 +270,80 @@ def main():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+    return jax
 
-    dev = jax.devices()[0]
-    RESULTS["platform"] = dev.platform
-    stage_chain()
-    stage_stream()
-    stage_ldpc()
+
+STAGES = {"chain": stage_chain, "stream": stage_stream, "ldpc": stage_ldpc}
+
+
+def run_stage_child(name: str, out_path: str):
+    """Child mode: run ONE stage, write its RESULTS to out_path."""
+    jax = _configure_jax()
+    RESULTS["platform"] = jax.devices()[0].platform
+    STAGES[name]()
+    with open(out_path, "w") as f:
+        json.dump(RESULTS, f)
+
+
+def main(total_budget: float):
+    """Orchestrate: each stage in its own subprocess with a time budget.
+
+    A stage whose compile stalls (tunnelled-TPU bad days: >900 s observed
+    for a program that takes 9 s on a good day) is killed at its budget and
+    the NEXT stage still runs — so a bad day lands the cheap stages and a
+    good day lands everything.  Budget split leaves headroom for the
+    later stages: chain <= 55%, stream <= 30% of remaining, ldpc the rest."""
+    t_end = time.time() + total_budget - 15.0        # reserve for emit
+    order = [("chain", 0.55 * total_budget),
+             ("stream", None),                        # 60% of what's left
+             ("ldpc", None)]
+    for i, (name, budget) in enumerate(order):
+        remaining = t_end - time.time()
+        if remaining < 20:
+            RESULTS[f"{name}_skipped"] = "budget exhausted"
+            continue
+        if budget is None:
+            budget = remaining if i == len(order) - 1 else 0.6 * remaining
+        budget = min(budget, remaining)
+        out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", name, "--out", out],
+                timeout=budget, capture_output=True, text=True)
+            if proc.returncode != 0:
+                RESULTS[f"{name}_error"] = (proc.stderr or "")[-160:]
+        except subprocess.TimeoutExpired:
+            RESULTS[f"{name}_stage_timeout_s"] = round(time.time() - t0, 0)
+        try:
+            with open(out) as f:
+                RESULTS.update(json.load(f))
+        except Exception:
+            pass
+        finally:
+            try:
+                os.unlink(out)
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":
-    threading.Thread(target=watchdog,
-                     args=(float(os.environ.get("WENET_BENCH_TIMEOUT", 480)),),
-                     daemon=True).start()
+    if "--stage" in sys.argv:
+        name = sys.argv[sys.argv.index("--stage") + 1]
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        try:
+            run_stage_child(name, out_path)
+        except Exception as e:
+            with open(out_path, "w") as f:
+                json.dump({f"{name}_error": repr(e)[:160]}, f)
+        raise SystemExit(0)
+
+    total = float(os.environ.get("WENET_BENCH_TIMEOUT", 480))
+    threading.Thread(target=watchdog, args=(total + 30,),
+                     daemon=True).start()              # belt-and-braces
     try:
-        main()
+        main(total)
     except Exception as e:                      # tunnelled-TPU flakiness:
         RESULTS["error"] = repr(e)[:160]        # report what was measured
     finally:
