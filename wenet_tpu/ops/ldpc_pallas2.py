@@ -1,0 +1,225 @@
+"""Gather-native Pallas TPU kernel: VMEM-resident sum-product LDPC decode.
+
+Second-generation kernel (VERDICT r1 #9).  The first kernel
+(ops/ldpc_pallas.py) expressed the irregular Tanner-graph edge maps as
+dense one-hot matmuls streamed from HBM — structurally bandwidth-bound at
+~23k codewords/s because every BP iteration re-reads 110 MB of one-hot
+matrix no matter the batch.  This kernel keeps EVERYTHING for a batch
+tile resident in VMEM and expresses the two irregular maps as *native
+sublane gathers with static indices*:
+
+  layout: batch in LANES, graph nodes in SUBLANES (all arrays (rows, Bt))
+    llr/qi   (2584, Bt)   vars   (2580 padded to 8-multiple)
+    edges    (7280, Bt)   slot-major: edge (s, c) -> row s*520 + c
+                          (516 checks padded to 520; 14 slots)
+
+  check-side reduction   = sum of 14 static row slices      (no gather)
+  var -> edge broadcast  = one   take_along_axis(..., axis=0) gather
+  edge -> var reduction  = three take_along_axis(..., axis=0) gathers
+                           (column weight <= 3), masked + summed
+
+Per BP iteration per batch tile that is ~4 sublane gathers + the phi0
+transcendentals — zero HBM traffic (vs the XLA decoder's inter-stage HBM
+round trips of the (B, 516, 14) message tensors).
+
+Semantics matched to ops/ldpc.decode (mpdecode_core.c:385-489): exact
+phi0 clamps, early exit via per-codeword (= per-lane) convergence
+masking, iteration counts and output bits bit-identical.
+
+Mosaic portability notes (learned from kernel #1, kept here): f32
+everywhere in the loop carry (0/1 flags instead of bools), carries
+derived from data (not constant splats), fixed-trip fori_loop, 2-D
+shapes throughout, no reshapes that split lanes.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import ldpc_tables as T
+
+SLOTS = 14                  # max check degree (H2064_516: row weight 13-14)
+CHECKS_R = 520              # 516 padded to an 8-row multiple
+EDGES_R = SLOTS * CHECKS_R  # 7280
+VARS_R = 2584               # 2580 padded to an 8-row multiple
+COL_W = 3                   # max var degree
+
+
+@lru_cache(maxsize=1)
+def _tables():
+    var_idx, mask = T.check_edges()              # (516, 14) / flat e = c*14+s
+    vslots, vmask = T.var_edges()                # (2580, 3), sentinel 7224
+
+    # edge row (slot-major) for edge (s, c): s*CHECKS_R + c
+    edge_var = np.zeros((SLOTS, CHECKS_R), np.int32)
+    edge_mask = np.zeros((SLOTS, CHECKS_R), np.float32)
+    edge_var[:14, :516] = var_idx.T
+    edge_mask[:14, :516] = mask.T
+    edge_var = edge_var.reshape(EDGES_R, 1)
+    edge_mask = edge_mask.reshape(EDGES_R, 1)
+
+    # var-side: flat index e = c*14 + s  ->  row s*CHECKS_R + c
+    e = vslots.astype(np.int64)
+    c, s = e // 14, e % 14
+    vrows = (s * CHECKS_R + c).astype(np.int32)  # (2580, 3)
+    vrows = np.where(vmask, vrows, 0)
+    vrows_p = np.zeros((COL_W, VARS_R), np.int32)
+    vmask_p = np.zeros((COL_W, VARS_R), np.float32)
+    vrows_p[:, :2580] = vrows.T
+    vmask_p[:, :2580] = vmask.T
+    # stacked as (COL_W * VARS_R, 1) so every kernel input stays 2-D
+    return (edge_var, edge_mask,
+            vrows_p.reshape(COL_W * VARS_R, 1),
+            vmask_p.reshape(COL_W * VARS_R, 1))
+
+
+def _phi0(x):
+    xs = jnp.clip(x, 9.08e-5, 10.0)
+    val = -jnp.log(jnp.tanh(xs * 0.5))
+    val = jnp.where(x > 10.0, 0.0, val)
+    return jnp.where(x < 9.08e-5, 10.0, val)
+
+
+def _srow(x, s):
+    """Slot s of a slot-major edge array: static sublane slice (CHECKS_R, Bt)."""
+    return x[s * CHECKS_R:(s + 1) * CHECKS_R, :]
+
+
+def _gather_rows(x, idx_col, bt):
+    """out[i, j] = x[idx_col[i, 0], j] — static-index sublane gather."""
+    idx = jnp.broadcast_to(idx_col.astype(jnp.int32),
+                           (idx_col.shape[0], bt))
+    return jnp.take_along_axis(x, idx, axis=0, mode="clip")
+
+
+def _bp_kernel(llr_ref, ev_ref, em_ref, vr_ref, vm_ref,
+               bits_ref, iters_ref, conv_ref, max_iter: int):
+    """One batch tile, everything VMEM-resident.
+    llr (VARS_R, Bt) f32; ev/em (EDGES_R, 1) i32/f32;
+    vr/vm (COL_W*VARS_R, 1) i32/f32."""
+    bt = llr_ref.shape[1]
+    llr = llr_ref[:]
+    emask = jnp.broadcast_to(em_ref[:], (EDGES_R, bt))
+
+    def slot_sum(x):                                  # (E, Bt) -> (C, Bt)
+        acc = _srow(x, 0)
+        for s in range(1, SLOTS):
+            acc = acc + _srow(x, s)
+        return acc
+
+    def broadcast_minus(tot, x):                      # per-edge tot - x
+        return jnp.concatenate(
+            [tot - _srow(x, s) for s in range(SLOTS)], axis=0)
+
+    def var_to_edge(qi):                              # (V, Bt) -> (E, Bt)
+        return _gather_rows(qi, ev_ref[:], bt)
+
+    def edge_to_var(rmsg):                            # (E, Bt) -> (V, Bt)
+        acc = None
+        for j in range(COL_W):
+            rows = vr_ref[j * VARS_R:(j + 1) * VARS_R, :]
+            msk = vm_ref[j * VARS_R:(j + 1) * VARS_R, :]
+            g = _gather_rows(rmsg, rows, bt) * jnp.broadcast_to(
+                msk, (VARS_R, bt))
+            acc = g if acc is None else acc + g
+        return acc
+
+    # v-side init (mpdecode_core.c:352-359)
+    llr_e = var_to_edge(llr)
+    vmsg = _phi0(jnp.abs(llr_e)) * emask
+    vsgn = jnp.where((llr_e < 0) & (emask > 0), 1.0, 0.0)
+
+    zrow = llr[:1, :] * 0.0                           # (1, Bt) f32, data-derived
+    state0 = (vmsg, vsgn, llr * 0.0, zrow, zrow)
+
+    def body(it, state):
+        vmsg, vsgn, qi_f, iters, conv = state
+        phi_sum = slot_sum(vmsg)                      # (C, Bt)
+        sgn_tot = slot_sum(vsgn) % 2.0
+        r_mag = _phi0(broadcast_minus(phi_sum, vmsg))  # (E, Bt)
+        r_sgn = jnp.abs(broadcast_minus(sgn_tot, vsgn)) % 2.0
+        rmsg = jnp.where(r_sgn > 0.5, -r_mag, r_mag) * emask
+        # padded check rows have zero signs -> count as ok; need all CHECKS_R
+        ssum = jnp.sum(jnp.where(sgn_tot < 0.5, 1.0, 0.0),
+                       axis=0, keepdims=True)         # (1, Bt)
+
+        qi = llr + edge_to_var(rmsg)                  # (V, Bt)
+        q_e = var_to_edge(qi) - rmsg
+        n_vmsg = _phi0(jnp.abs(q_e)) * emask
+        n_vsgn = jnp.where((q_e <= 0.0) & (emask > 0), 1.0, 0.0)
+
+        ones_neg = jnp.sum(jnp.where(qi[: T.N_DATA, :] < 0.0, 1.0, 0.0),
+                           axis=0, keepdims=True)     # (1, Bt)
+        trigger = jnp.where((ones_neg < 0.5) | (ssum >= CHECKS_R), 1.0, 0.0)
+
+        upd = conv < 0.5                              # (1, Bt), broadcasts
+        vmsg = jnp.where(upd, n_vmsg, vmsg)
+        vsgn = jnp.where(upd, n_vsgn, vsgn)
+        qi_f = jnp.where(upd, qi, qi_f)
+        iters = iters + jnp.where(upd, 1.0, 0.0)
+        return vmsg, vsgn, qi_f, iters, jnp.maximum(conv, trigger)
+
+    _, _, qi_f, iters, conv = jax.lax.fori_loop(0, max_iter, body, state0)
+    bits_ref[:] = jnp.where(qi_f < 0.0, 1, 0).astype(jnp.int8)
+    iters_ref[:] = iters.astype(jnp.int32)
+    conv_ref[:] = jnp.where(conv > 0.5, 1, 0).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "batch_tile", "interpret"))
+def decode_pallas2(llr: jnp.ndarray, max_iter: int = 10,
+                   batch_tile: int = 128, interpret: bool = False):
+    """Gather-native Pallas BP decode.  llr (B, 2580) f32 ->
+    (bits (B, 2580) uint8, iters (B,) int32, parity_ok (B,) bool).
+    Output-parity with ops/ldpc.decode."""
+    ev, em, vr, vm = _tables()
+    B = llr.shape[0]
+    Bp = -(-B // batch_tile) * batch_tile
+    # batch in lanes: (VARS_R, Bp)
+    llr_t = jnp.zeros((VARS_R, Bp), jnp.float32)
+    llr_t = llr_t.at[: T.CODE_LEN, :B].set(llr.astype(jnp.float32).T)
+
+    grid = Bp // batch_tile
+    bits_t, iters_t, _conv_t = pl.pallas_call(
+        partial(_bp_kernel, max_iter=max_iter),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((VARS_R, batch_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGES_R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGES_R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((COL_W * VARS_R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((COL_W * VARS_R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((VARS_R, batch_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((VARS_R, Bp), jnp.int8),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int8),
+        ],
+        interpret=interpret,
+    )(llr_t, jnp.asarray(ev), jnp.asarray(em), jnp.asarray(vr),
+      jnp.asarray(vm))
+
+    bits = bits_t[: T.CODE_LEN, :B].T.astype(jnp.uint8)
+    iters = iters_t[0, :B]
+    var_idx, mask = T.check_edges()
+    be = bits[:, jnp.asarray(var_idx)].astype(jnp.int32) * \
+        jnp.asarray(mask, jnp.int32)
+    parity_ok = jnp.all(jnp.sum(be, axis=-1) % 2 == 0, axis=-1)
+    return bits, iters, parity_ok
