@@ -1,5 +1,19 @@
 """Gather-native Pallas TPU kernel: VMEM-resident sum-product LDPC decode.
 
+STATUS (probed on a real v5e chip, 2026-08-20): bit-identical to
+ops/ldpc.decode in interpret mode, but NOT compilable by Mosaic — and the
+probe result is the interesting artifact.  tools/pallas_gather_probe2.py
+maps Mosaic's dynamic-gather envelope on this backend: take_along_axis
+lowers ONLY within a single vreg of the gathered dimension (axis=-1
+requires exactly 128 lanes; axis=0 exactly 8 sublanes; all shapes equal).
+A gather across this code's 2584 vars / 7280 edges therefore decomposes
+into ~21 x 57 cross-tile gather+select pairs per map per iteration —
+an instruction stream that cannot beat XLA's fused multi-vreg gathers.
+For a 2580-bit code the XLA gather decoder (ops/ldpc.decode, measured
+5-12M codewords/s on-chip) IS the right TPU design; this module stays as
+the measured evidence for that conclusion and as the interpret-validated
+reference for a future Mosaic with wider gather support.
+
 Second-generation kernel (VERDICT r1 #9).  The first kernel
 (ops/ldpc_pallas.py) expressed the irregular Tanner-graph edge maps as
 dense one-hot matmuls streamed from HBM — structurally bandwidth-bound at
