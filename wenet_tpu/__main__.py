@@ -1,13 +1,17 @@
-"""Dispatcher: python -m wenet_tpu {rx,tx,bench,web,console,gui,telemetrygui}."""
+"""Dispatcher: python -m wenet_tpu {rx,tx,flight,ber,bench,web,console,gui,
+telemetrygui}."""
 import sys
 
 
 def main():
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
-        print("usage: python -m wenet_tpu {rx,tx,bench,web,console,gui,"
-              "telemetrygui} [args]\n"
+        print("usage: python -m wenet_tpu {rx,tx,flight,ber,bench,web,"
+              "console,gui,telemetrygui} [args]\n"
               "  rx           decode IQ -> packets/images/telemetry\n"
               "  tx           transmit images/text to IQ/bit/UDP sinks\n"
+              "  flight       full payload loop: camera+GPS -> radio\n"
+              "               (tx_picamera2_gps equivalent)\n"
+              "  ber          testframe BER mode (fsk_demod -f equivalent)\n"
               "  bench        PER/throughput regression sweep\n"
               "  web          live web GUI (wenetserver equivalent)\n"
               "  console      print telemetry from the UDP broadcast bus\n"
@@ -20,6 +24,12 @@ def main():
         return m(argv)
     if cmd == "tx":
         from .cli.tx import main as m
+        return m(argv)
+    if cmd == "flight":
+        from .cli.flight import main as m
+        return m(argv)
+    if cmd == "ber":
+        from .cli.ber import main as m
         return m(argv)
     if cmd == "bench":
         from .cli.bench_demod import main as m

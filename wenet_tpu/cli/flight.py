@@ -24,7 +24,8 @@ def main(argv=None):
     ap.add_argument("--fs", type=int, default=None)
     ap.add_argument("--rs", type=int, default=None)
     ap.add_argument("--duration", type=float, default=30.0,
-                    help="seconds of flight to run")
+                    help="seconds of flight to run; 0 = run until killed "
+                         "(the reference's supervised-forever mode)")
     ap.add_argument("--gps-rate", type=float, default=1.0)
     ap.add_argument("--gps-port", default=None,
                     help="serial device of a real u-blox GPS (UBX protocol "
@@ -61,6 +62,13 @@ def main(argv=None):
     tx = PacketTX(radio, callsign=args.callsign, udp_listener=55674)
     tx.start_tx()
 
+    # camera first: the GPS callback reads its metadata, so it must exist
+    # before the first fix can arrive (tx_picamera2_gps.py wires the same
+    # order, :94-247)
+    w, h = (int(v) for v in args.tx_resolution.split("x"))
+    cam = SSDVCamera(FileCamera(args.images_dir), callsign=args.callsign,
+                     tx_resolution=(w, h))
+
     # GPS telemetry per fix (tx_picamera2_gps.handle_gps_data, :114-152)
     def on_fix(state):
         tx.transmit_gps_telemetry(state, cam.camera.get_metadata())
@@ -73,15 +81,11 @@ def main(argv=None):
     else:
         gps = SimulatedGPS(callback=on_fix, rate=args.gps_rate)
     gps.start()
-
-    w, h = (int(v) for v in args.tx_resolution.split("x"))
-    cam = SSDVCamera(FileCamera(args.images_dir), callsign=args.callsign,
-                     tx_resolution=(w, h))
     cam.run("./tx_images", tx)
 
     try:
         t0 = time.time()
-        while time.time() - t0 < args.duration:
+        while args.duration <= 0 or time.time() - t0 < args.duration:
             time.sleep(0.5)
     except KeyboardInterrupt:
         pass
