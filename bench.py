@@ -168,7 +168,7 @@ def stage_chain(reps=3):
     RESULTS["batch_streams"] = B
     if "chain_xla_gflops" in RESULTS:
         RESULTS["chain_xla_tflops_per_s"] = round(
-            RESULTS["chain_xla_gflops"] / dt / 1e3, 1)
+            RESULTS["chain_xla_gflops"] / dt / 1e3, 3)
 
 
 @_stage("stream")
