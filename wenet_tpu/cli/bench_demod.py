@@ -81,6 +81,8 @@ def run_sweep(mode="v2", packets=20, ebnos=None, shift=0.0, resample=1.0,
 
 
 def main(argv=None):
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     add_args(ap)
     args = ap.parse_args(argv)

@@ -56,6 +56,8 @@ def run_ber(cfg, ebno_db: float, seconds: float = 2.0, seed: int = 158324,
 
 
 def main(argv=None):
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--fs", type=int, default=96000)
     ap.add_argument("--rs", type=int, default=9600)

@@ -12,6 +12,8 @@ import time
 
 
 def main(argv=None):
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--callsign", default="N0CALL")
     ap.add_argument("--mode", choices=["v1", "v2"], default="v2")

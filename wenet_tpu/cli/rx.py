@@ -83,6 +83,8 @@ def add_args(ap: argparse.ArgumentParser):
 
 
 def main(argv=None):
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     add_args(ap)
     args = ap.parse_args(argv)
