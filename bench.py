@@ -241,6 +241,16 @@ def stage_ldpc(reps=3):
     RESULTS["ldpc_codewords_per_s"] = round(
         nB * reps / (time.perf_counter() - t0), 0)
 
+    # normalized min-sum (transcendental-free Monte-Carlo engine)
+    b2, _, _ = ldpc.decode_minsum(llr)
+    b2.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        b2, _, _ = ldpc.decode_minsum(llr)
+    b2.block_until_ready()
+    RESULTS["minsum_codewords_per_s"] = round(
+        nB * reps / (time.perf_counter() - t0), 0)
+
     if os.environ.get("WENET_BENCH_PALLAS") == "1":
         try:
             from wenet_tpu.ops import ldpc_pallas

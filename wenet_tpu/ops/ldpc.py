@@ -183,3 +183,90 @@ def decode_np(llr: np.ndarray, max_iter: int = T.MAX_ITER):
     llr = np.atleast_2d(np.asarray(llr, np.float32))
     bits, iters, ok = decode(jnp.asarray(llr), max_iter=max_iter)
     return np.asarray(bits), np.asarray(iters), np.asarray(ok)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "scale"))
+def decode_minsum(llr: jnp.ndarray, max_iter: int = T.MAX_ITER,
+                  scale: float = 0.8):
+    """Batched NORMALIZED MIN-SUM decode — the fast sweep engine.
+
+    Same graph, same early-exit/convergence-masking semantics as
+    `decode`, but the check-node update is the standard normalized
+    min-sum approximation (r = scale · sign-product · min-excluded |q|)
+    instead of the phi-domain sum-product.  No transcendentals anywhere
+    in the iteration, so the VPU runs pure compare/select/add — measured
+    meaningfully faster per iteration on TPU than the phi0 log/tanh path.
+
+    NOT the reference algorithm (mpdecode_core.c is sum-product): packet
+    decisions can differ near threshold by a fraction of a dB — use
+    `decode` whenever oracle parity matters; use this for Monte-Carlo
+    volume.  The 0.8 normalization is the conventional single-scalar
+    correction for the min-sum overestimate.
+    """
+    var_idx, mask, vslots, vmask = _decoder_constants()
+    B = llr.shape[0]
+    fmask = mask.astype(llr.dtype)
+    vfmask = vmask.astype(llr.dtype)
+    BIG = jnp.float32(1e30)
+    slot_idx = jnp.arange(mask.shape[1], dtype=jnp.int32)       # (14,)
+
+    def gather_vars(values):  # (B, 2580) -> (B, 516, 14)
+        return values[:, var_idx]
+
+    q_e = gather_vars(llr)                                      # (B,516,14)
+    qmag = jnp.where(mask, jnp.abs(q_e), BIG)
+    qsgn = (q_e < 0) & mask
+
+    def body(state):
+        it, qmag, qsgn, bits, iters, converged = state
+
+        # ---- R update: normalized min-sum (two-min trick, portable
+        # first-min position from min reductions — no arg* primitives)
+        m1 = jnp.min(qmag, axis=-1, keepdims=True)              # (B,516,1)
+        pos = jnp.min(jnp.where(qmag <= m1, slot_idx, mask.shape[1]),
+                      axis=-1, keepdims=True)                   # (B,516,1)
+        m2 = jnp.min(jnp.where(slot_idx == pos, BIG, qmag),
+                     axis=-1, keepdims=True)
+        r_mag = jnp.where(slot_idx == pos, m2, m1) * scale      # (B,516,14)
+        sgn_tot = (jnp.sum(qsgn, axis=-1, keepdims=True) & 1)
+        r_sgn = (sgn_tot ^ qsgn.astype(jnp.int32)) & 1
+        new_rmsg = jnp.where(r_sgn == 1, -r_mag, r_mag) * fmask
+        checks_ok = (sgn_tot[..., 0] == 0)
+        ssum = jnp.sum(checks_ok, axis=-1)
+
+        # ---- Q update (identical structure to sum-product)
+        flat_vals = new_rmsg.reshape(B, -1)
+        qsum = jnp.sum(flat_vals[:, vslots] * vfmask, axis=-1)
+        qi = llr + qsum
+        new_bits = (qi < 0).astype(jnp.uint8)
+        q_e = gather_vars(qi) - new_rmsg
+        new_qmag = jnp.where(mask, jnp.abs(q_e), BIG)
+        new_qsgn = (q_e < 0) & mask
+
+        data_zero = jnp.all(new_bits[:, : T.N_DATA] == 0, axis=-1)
+        trigger = data_zero | (ssum == T.N_PARITY)
+
+        upd = ~converged
+        qmag = jnp.where(upd[:, None, None], new_qmag, qmag)
+        qsgn = jnp.where(upd[:, None, None], new_qsgn, qsgn)
+        bits = jnp.where(upd[:, None], new_bits, bits)
+        iters = jnp.where(upd, it + 1, iters)
+        converged = converged | trigger
+        return it + 1, qmag, qsgn, bits, iters, converged
+
+    def cond(state):
+        it, *_, converged = state
+        return (it < max_iter) & ~jnp.all(converged)
+
+    zerof = llr[:, 0] * 0.0
+    init = (
+        jnp.array(0, jnp.int32), qmag, qsgn,
+        (llr * 0.0).astype(jnp.uint8)[:, : T.CODE_LEN],
+        zerof.astype(jnp.int32) + max_iter,
+        zerof.astype(bool),
+    )
+    _, _, _, bits, iters, _ = jax.lax.while_loop(cond, body, init)
+
+    bits_e = bits[:, var_idx].astype(jnp.int32) * mask.astype(jnp.int32)
+    parity_ok = jnp.all(jnp.sum(bits_e, axis=-1) % 2 == 0, axis=-1)
+    return bits, iters, parity_ok

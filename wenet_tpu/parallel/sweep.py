@@ -23,7 +23,8 @@ from ..utils.rng import prng_key
 # ------------------------------------------------------------- LDPC-only MC
 
 
-def _ldpc_trial_batch(key, ebno_db, n_cw: int, max_iter: int):
+def _ldpc_trial_batch(key, ebno_db, n_cw: int, max_iter: int,
+                      algo: str = "sum-product"):
     """One batch of codeword trials at one Eb/N0 point (runs on device)."""
     kbits, knoise = jax.random.split(key)
     ibits = jax.random.bernoulli(kbits, 0.5, (n_cw, 2064)).astype(jnp.uint8)
@@ -34,21 +35,25 @@ def _ldpc_trial_batch(key, ebno_db, n_cw: int, max_iter: int):
     sigma = jnp.sqrt(1.0 / (2.0 * esn0))
     sd = sym + sigma * jax.random.normal(knoise, sym.shape, jnp.float32)
     llr = ldpc.sd_to_llr(sd)
-    bits, iters, parity_ok = ldpc.decode(llr, max_iter=max_iter)
+    dec = ldpc.decode_minsum if algo == "min-sum" else ldpc.decode
+    bits, iters, parity_ok = dec(llr, max_iter=max_iter)
     bit_errs = jnp.sum(bits[:, :2064] != ibits, dtype=jnp.int32)
     frame_errs = jnp.sum(jnp.any(bits[:, :2064] != ibits, axis=1), dtype=jnp.int32)
     return bit_errs, frame_errs, jnp.sum(iters, dtype=jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("n_cw", "max_iter"))
-def _ldpc_point(key, ebno_db, n_cw, max_iter):
-    return _ldpc_trial_batch(key, ebno_db, n_cw, max_iter)
+@partial(jax.jit, static_argnames=("n_cw", "max_iter", "algo"))
+def _ldpc_point(key, ebno_db, n_cw, max_iter, algo="sum-product"):
+    return _ldpc_trial_batch(key, ebno_db, n_cw, max_iter, algo)
 
 
 def ldpc_ber_sweep(ebno_grid, n_cw_per_point: int, key=None, mesh=None,
-                   max_iter: int = 10):
+                   max_iter: int = 10, algo: str = "sum-product"):
     """BER/FER vs Eb/N0 for H2064_516.  With a mesh, trials are sharded over
     the 'batch' axis and counters psum-reduced on device.
+
+    algo: "sum-product" (reference-exact) or "min-sum" (normalized,
+    transcendental-free — the fast Monte-Carlo engine for big sweeps).
 
     Returns dict of numpy arrays: ebno, ber, fer, mean_iters.
     """
@@ -57,7 +62,7 @@ def ldpc_ber_sweep(ebno_grid, n_cw_per_point: int, key=None, mesh=None,
     keys = jax.random.split(key, len(ebno_grid))
 
     if mesh is None:
-        out = [_ldpc_point(k, e, n_cw_per_point, max_iter)
+        out = [_ldpc_point(k, e, n_cw_per_point, max_iter, algo)
                for k, e in zip(keys, ebno_grid)]
         be, fe, it = (np.array([o[i] for o in out]) for i in range(3))
         n = n_cw_per_point
@@ -70,7 +75,8 @@ def ldpc_ber_sweep(ebno_grid, n_cw_per_point: int, key=None, mesh=None,
         @partial(jax.shard_map, mesh=mesh, in_specs=(P("batch"), P()),
                  out_specs=P())
         def point(dev_keys, ebno):
-            b, f, i = _ldpc_trial_batch(dev_keys[0], ebno, per_dev, max_iter)
+            b, f, i = _ldpc_trial_batch(dev_keys[0], ebno, per_dev, max_iter,
+                                        algo)
             return (jax.lax.psum(b, "batch"), jax.lax.psum(f, "batch"),
                     jax.lax.psum(i, "batch"))
 
