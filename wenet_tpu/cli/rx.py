@@ -73,6 +73,11 @@ def add_args(ap: argparse.ArgumentParser):
                     help="overlap device demod of chunk k+1 with host "
                          "deframe of chunk k (pipeline parallelism; "
                          "payloads arrive one chunk later)")
+    ap.add_argument("--parallel", type=int, default=0, metavar="N",
+                    help="one-shot overlap-save decode with N concurrent "
+                         "chunk demods in one device dispatch (whole-file "
+                         "throughput mode; exact streaming uses chunked "
+                         "push)")
     ap.add_argument("--channels", type=int, default=0, metavar="N",
                     help="wideband mode: polyphase-channelize the capture "
                          "into N channels of --fs each and demod them all in "
@@ -140,6 +145,32 @@ def main(argv=None):
               f"({len(iq) / max(dt, 1e-9) / 1e6:.2f} Msamp/s)",
               file=sys.stderr)
         return 0
+    if args.parallel:
+        # one-shot overlap-save parallel decode: N concurrent chunk demods
+        # in one dispatch (cu8 bytes convert on device); the throughput
+        # path for whole-file processing
+        from ..rx.pipeline import decode_iq_parallel
+        fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+        buf = np.frombuffer(fin.read(), dtype=dtype)
+        if fin is not sys.stdin.buffer:
+            fin.close()
+        data = buf if args.format == "cu8" else conv(buf)
+        t0 = time.time()
+        payloads = decode_iq_parallel(data, mode=args.mode, cfg=cfg,
+                                      n_chunks=args.parallel,
+                                      input_format=args.format
+                                      if args.format == "cu8" else "c64")
+        for payload in payloads:
+            router.handle_packet(payload)
+        router.flush()
+        dt = time.time() - t0
+        n_samp = len(buf) // (2 if args.format == "cu8" else 1)
+        print(f"parallel x{args.parallel}: {len(payloads)} packets, "
+              f"images={router.images_decoded} wall={dt:.2f}s "
+              f"({n_samp / max(dt, 1e-9) / 1e6:.2f} Msamp/s)",
+              file=sys.stderr)
+        return 0
+
     bytes_per_sample = np.dtype(dtype).itemsize * (
         2 if args.format in ("cu8", "cs16") else 1)
     chunk_samples = int(rx.cfg.Fs * args.chunk_seconds)
