@@ -129,3 +129,22 @@ def test_flight_cli(tmp_path):
                       "--duration", "3", "--tx-resolution", "96x64"])
     assert rc == 0
     assert out.stat().st_size > 100000   # several packets of IQ emitted
+
+
+def test_kill_payload_leds_injected():
+    """pi_utils drives all 9 LED channels to full-off duty (kill_leds.py)."""
+    from wenet_tpu.tx import pi_utils
+
+    class FakeChannel:
+        duty_cycle = 0
+
+    class FakePCA:
+        def __init__(self):
+            self.channels = [FakeChannel() for _ in range(16)]
+            self.frequency = 0
+
+    pca = FakePCA()
+    assert pi_utils.kill_payload_leds(pca=pca)
+    assert pca.frequency == 60
+    assert all(pca.channels[i].duty_cycle == 0xFFFF for i in range(9))
+    assert pca.channels[9].duty_cycle == 0
