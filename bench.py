@@ -196,7 +196,9 @@ def stage_stream(seconds=None):
     chunk = int(cfg.Fs * 2.0) * 2              # 2 s of cu8 bytes per push
 
     def run(pipelined):
-        rx = Receiver(mode="v2", pipelined=pipelined)
+        # with_eye=False: the pure-decode program (stats consumers keep the
+        # default True; the eye carry is only worth paying when emitted)
+        rx = Receiver(mode="v2", pipelined=pipelined, with_eye=False)
         got = 0
         t0 = time.perf_counter()
         for i in range(0, len(raw), chunk):
@@ -295,14 +297,9 @@ def _configure_jax():
     import jax
     # persistent compilation cache: a retried bench (or a second run after a
     # watchdog kill) compiles from cache instead of paying tunnel-compile
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    from wenet_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     return jax
 
 

@@ -30,12 +30,11 @@ fi
 
 GPS_ARGS=()
 if [ -n "$GPS_PORT" ]; then GPS_ARGS+=(--gps-port "$GPS_PORT"); fi
-DUR_ARGS=()
-if [ "$DURATION" != "0" ]; then DUR_ARGS+=(--duration "$DURATION"); fi
 
 mkdir -p "$IMAGES_DIR"
+# --duration is always passed: flight.py treats 0 as run-until-killed
 exec python3 -m wenet_tpu flight \
     --callsign "$MYCALL" --mode "$TX_MODE" \
     --images-dir "$IMAGES_DIR" --out "$OUT" \
-    --tx-resolution "$RESOLUTION" \
-    "${GPS_ARGS[@]}" "${DUR_ARGS[@]}"
+    --tx-resolution "$RESOLUTION" --duration "$DURATION" \
+    "${GPS_ARGS[@]}"

@@ -72,10 +72,9 @@ def hand_flop_budget(cfg, n_samples, B):
 def main():
     import jax
     import jax.numpy as jnp
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from wenet_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
 
     import bench
     from wenet_tpu.ops import deframe, fsk

@@ -48,14 +48,12 @@ def report(name, fn):
 def lane_take_along():
     idx2 = jnp.broadcast_to(jnp.asarray(IDX)[None, :], (B, E))
 
-    def k(x_ref, i_ref, o_ref):
-        o_ref[:] = jnp.take_along_axis(
-            jnp.broadcast_to(x_ref[:], (B, V)), i_ref[:], axis=-1,
-            mode="clip") if False else jnp.take_along_axis(
-                _pad_lanes(x_ref[:], E), i_ref[:], axis=-1, mode="clip")
-
     def _pad_lanes(x, n):          # take_along_axis wants same lane count?
         return jnp.pad(x, ((0, 0), (0, n - x.shape[1])))
+
+    def k(x_ref, i_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(
+            _pad_lanes(x_ref[:], E), i_ref[:], axis=-1, mode="clip")
 
     return pl.pallas_call(
         k, out_shape=jax.ShapeDtypeStruct((B, E), jnp.float32))(

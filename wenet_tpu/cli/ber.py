@@ -80,25 +80,9 @@ def run_ber(cfg, ebno_db: float, seconds: float = 2.0, seed: int = 158324,
                                            shift_hz, rng)
     soft, outs, _ = fsk.demod_iq_np(cfg, iq)
     rx = (soft < 0).astype(np.uint8)
-
-    # slide the known frame over the rx bits; sync = <10% errors in a window
-    # (fsk_demod.c:304-343)
-    fr_pm = 1.0 - 2.0 * frame
-    rx_pm = 1.0 - 2.0 * rx
-    corr = np.correlate(rx_pm, fr_pm)
-    lag = int(np.argmax(corr))
-    n = (len(rx) - lag) // TEST_FRAME_SIZE * TEST_FRAME_SIZE
-    if n <= 0:
-        return {"bits": 0, "errs": 0, "ber": 1.0, "sync_found": False}
-    aligned = rx[lag:lag + n]
-    ref = np.tile(frame, n // TEST_FRAME_SIZE)
-    per_frame_errs = (aligned != ref).reshape(-1, TEST_FRAME_SIZE).sum(1)
-    synced = per_frame_errs < 0.1 * TEST_FRAME_SIZE
-    bits = int(synced.sum()) * TEST_FRAME_SIZE
-    errs = int(per_frame_errs[synced].sum())
-    return {"bits": bits, "errs": errs,
-            "ber": errs / max(bits, 1), "sync_found": bool(synced.any()),
-            "frames_synced": int(synced.sum()), "frames_total": len(synced)}
+    # the C binary's sliding-window counting (re-syncs continuously, so a
+    # mid-capture nin slip only loses the boundary frame, fsk_demod.c:304-343)
+    return sliding_testframe_ber(rx, frame)
 
 
 def main(argv=None):

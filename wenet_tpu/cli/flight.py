@@ -44,6 +44,15 @@ def main(argv=None):
     if args.fs or args.rs:
         cfg = fsk.FSKConfig(Fs=args.fs or cfg.Fs, Rs=args.rs or cfg.Rs)
 
+    # hardware transports have a fixed on-air framing mode (UART = v1 RS232
+    # expansion, I2S = v2 scrambled); a mismatched --mode would transmit an
+    # undecodable hybrid, so fail loudly before touching hardware
+    fixed = {"serial:": "v1", "alsa:": "v2"}
+    for prefix, m in fixed.items():
+        if args.out.startswith(prefix) and args.mode != m:
+            ap.error(f"--mode {args.mode} conflicts with the {prefix} "
+                     f"transport's fixed framing mode {m}")
+
     fout = None
     if args.out.startswith("udp:"):
         _, host, port = args.out.split(":")

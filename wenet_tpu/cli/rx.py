@@ -164,7 +164,7 @@ def main(argv=None):
             router.handle_packet(payload)
         router.flush()
         dt = time.time() - t0
-        n_samp = len(buf) // (2 if args.format == "cu8" else 1)
+        n_samp = len(buf) // width      # components per sample, per format
         print(f"parallel x{args.parallel}: {len(payloads)} packets, "
               f"images={router.images_decoded} wall={dt:.2f}s "
               f"({n_samp / max(dt, 1e-9) / 1e6:.2f} Msamp/s)",

@@ -187,8 +187,11 @@ class Receiver:
 
     def __init__(self, mode: str = "v2", cfg: fsk.FSKConfig | None = None,
                  estimator_limits: tuple | None = None, max_iter: int = 10,
-                 pipelined: bool = False):
+                 pipelined: bool = False, with_eye: bool = True):
         self.mode = mode
+        self.with_eye = with_eye     # False: skip the eye-probe scan carry
+        #   (pure-decode callers compile a cheaper program; stats consumers
+        #   need the default True for live eye_diagram records)
         base = MODE_CONFIGS[mode] if cfg is None else cfg
         if estimator_limits is not None:
             base = dataclasses.replace(
@@ -237,9 +240,15 @@ class Receiver:
         blen = -(-len(buf) // (32 * cfg.N)) * (32 * cfg.N)
         padded = np.zeros(blen, np.complex64)
         padded[: len(buf)] = buf
-        final, outs, eye = fsk.demod_stream(
-            cfg, compat.put_complex(padded), nf, self.state,
-            n_valid=len(buf), with_eye=True)
+        if self.with_eye:
+            final, outs, eye = fsk.demod_stream(
+                cfg, compat.put_complex(padded), nf, self.state,
+                n_valid=len(buf), with_eye=True)
+        else:
+            final, outs = fsk.demod_stream(
+                cfg, compat.put_complex(padded), nf, self.state,
+                n_valid=len(buf))
+            eye = None
         return final, outs, eye, buf, len(iq_chunk)
 
     def _retire_state(self, final, buf: np.ndarray):
@@ -262,7 +271,7 @@ class Receiver:
         valid = outs.valid
         soft = outs.soft[valid].reshape(-1)
         nframes = int(valid.sum())
-        if nframes:   # last valid frame's integrator outputs (eye source)
+        if nframes and eye is not None:  # last valid frame's integrators
             self.last_eye = (compat.get_complex(eye[0]), int(eye[1]))
 
         self.stats.frames += nframes
