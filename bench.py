@@ -222,16 +222,18 @@ def stage_stream(seconds=None):
     # dispatch.  Same capture, same contract (includes H2D of the bytes).
     from wenet_tpu.rx.pipeline import decode_iq_parallel
     dt_par = None
+    n_chunks = int(os.environ.get("WENET_BENCH_PAR_CHUNKS", "16"))
     try:
         t0 = time.perf_counter()
-        pk = decode_iq_parallel(raw, mode="v2", n_chunks=16,
+        pk = decode_iq_parallel(raw, mode="v2", n_chunks=n_chunks,
                                 input_format="cu8")
         RESULTS["stream_parallel_compile_s"] = round(
             time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
-        pk = decode_iq_parallel(raw, mode="v2", n_chunks=16,
+        pk = decode_iq_parallel(raw, mode="v2", n_chunks=n_chunks,
                                 input_format="cu8")
         dt_par = time.perf_counter() - t0
+        RESULTS["stream_parallel_chunks"] = n_chunks
         RESULTS["stream_parallel_msps"] = round(len(iq) / dt_par / 1e6, 2)
         RESULTS["stream_parallel_packets_ok"] = len(pk)
     except Exception as e:
