@@ -85,3 +85,50 @@ def test_parallel_matches_sequential_at_boundary_false_lock():
     for nc in (3, 8, 16):
         par = decode_iq_parallel(iq, mode="v1", cfg=cfg, n_chunks=nc)
         assert par == seq, f"n_chunks={nc}: {len(par)} vs {len(seq)}"
+
+
+def test_fused_equals_sequential():
+    """ONE-dispatch fused decode (demod + deframe + LDPC + CRC in a single
+    XLA program) recovers the same payload set as the sequential FSM path."""
+    rng = np.random.default_rng(62)
+    payloads, iq = _capture(12, rng)
+    seq = pipeline.Receiver(mode="v2", cfg=CFG).decode_iq(iq)
+    fused = pipeline.decode_iq_fused(iq, "v2", CFG, n_chunks=4,
+                                     input_format="c64")
+    assert fused == seq
+    assert len(fused) >= 11
+
+
+def test_fused_cu8_ingest():
+    """Fused decode from raw rtl_sdr u8 bytes (device-side conversion)."""
+    rng = np.random.default_rng(63)
+    payloads, iq = _capture(8, rng, ebno=13.0)
+    raw = fsk.iq_to_cu8(iq / (np.abs(iq).max() + 1e-9))
+    fused = pipeline.decode_iq_fused(raw, "v2", CFG, n_chunks=3,
+                                     input_format="cu8")
+    assert len(fused) >= 7
+    assert set(fused) <= set(payloads)
+
+
+def test_fused_v1_mode():
+    cfg = fsk.FSKConfig(Fs=92000, Rs=11500)
+    rng = np.random.default_rng(64)
+    bits = [rng.integers(0, 2, cfg.Nbits * 4).astype(np.uint8)]
+    payloads = []
+    for _ in range(10):
+        p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+        payloads.append(p)
+        bits.append(framing.frame_to_bits(
+            framing.frame_packet(p, ldpc.encode_bytes, mode="v1"), "v1"))
+        bits.append(rng.integers(0, 2, 200).astype(np.uint8))
+    stream = np.concatenate(bits)
+    stream = np.concatenate(
+        [stream, np.zeros((-len(stream)) % cfg.Nbits, np.uint8)])
+    sig, _ = fsk.fsk_mod_np(cfg, stream, 2 * cfg.Rs, cfg.Rs)
+    iq = channel.add_awgn(sig.astype(np.complex64), 12.0, cfg.Fs, cfg.Rs,
+                          rng=rng)
+    seq = pipeline.Receiver(mode="v1", cfg=cfg).decode_iq(iq)
+    fused = pipeline.decode_iq_fused(iq, "v1", cfg, n_chunks=3,
+                                     input_format="c64")
+    assert fused == seq
+    assert len(fused) >= 9

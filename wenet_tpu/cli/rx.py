@@ -146,20 +146,21 @@ def main(argv=None):
               file=sys.stderr)
         return 0
     if args.parallel:
-        # one-shot overlap-save parallel decode: N concurrent chunk demods
-        # in one dispatch (cu8 bytes convert on device); the throughput
-        # path for whole-file processing
-        from ..rx.pipeline import decode_iq_parallel
+        # one-shot fused decode: N concurrent chunk demods PLUS the UW
+        # deframe + LDPC + CRC all in ONE device dispatch (cu8 bytes convert
+        # on device); the throughput path for whole-file processing —
+        # per-dispatch tunnel latency is paid exactly once per capture
+        from ..rx.pipeline import decode_iq_fused
         fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
         buf = np.frombuffer(fin.read(), dtype=dtype)
         if fin is not sys.stdin.buffer:
             fin.close()
         data = buf if args.format == "cu8" else conv(buf)
         t0 = time.time()
-        payloads = decode_iq_parallel(data, mode=args.mode, cfg=cfg,
-                                      n_chunks=args.parallel,
-                                      input_format=args.format
-                                      if args.format == "cu8" else "c64")
+        payloads = decode_iq_fused(data, mode=args.mode, cfg=cfg,
+                                   n_chunks=args.parallel,
+                                   input_format=args.format
+                                   if args.format == "cu8" else "c64")
         for payload in payloads:
             router.handle_packet(payload)
         router.flush()

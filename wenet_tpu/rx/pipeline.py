@@ -9,6 +9,7 @@ with exact state carry so chunked == one-shot.
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 
 import numpy as np
 
@@ -164,6 +165,134 @@ def decode_iq_parallel(iq: np.ndarray, mode: str = "v2",
             last_pos[payload] = pos
             continue
         last_pos[payload] = pos
+        payloads.append(payload)
+    return payloads
+
+
+def _fused_geometry(cfg: fsk.FSKConfig, mode: str, n: int, n_chunks: int,
+                    warmup_frames: int):
+    """Static overlap-save geometry shared by the fused decoder."""
+    syms_pp = (framing.V2_SYMBOLS_PER_PACKET if mode == "v2"
+               else framing.V1_SYMBOLS_PER_PACKET)
+    packet_frames = syms_pp // cfg.Nsym + 2
+    halo = (warmup_frames + packet_frames) * cfg.N
+    core = -(-n // n_chunks)
+    flush = 8 * cfg.N
+    chunk_len = core + halo + flush
+    starts = np.maximum(np.arange(n_chunks) * core - halo, 0).astype(np.int32)
+    skips = np.where(starts > 0, warmup_frames, 0).astype(np.int32)
+    return syms_pp, chunk_len, starts, skips
+
+
+@_functools.lru_cache(maxsize=8)
+def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
+                   k: int, max_iter: int, fmt: str):
+    """Compile the ONE-dispatch RX chain: ingest-format conversion +
+    overlap-save chunk gather + vmapped scan demod + on-device UW top-k
+    deframe + batched BP decode + CRC — a single XLA program.
+
+    Rationale: on a tunnelled/remote TPU the per-dispatch latency (measured
+    0.5 ms on a good day, ~1.5 s on a degraded one) dwarfs the compute for
+    any capture; the multi-dispatch paths above collapse on bad days for
+    reasons unrelated to the program.  Everything after the raw-byte H2D
+    therefore lives in one program; the host only dedups the (tiny)
+    packet/position results.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def run(data, starts, skips):
+        if fmt == "cu8":
+            # u8 IQ pairs -> complex on device (fsk_demod.c:281-287 scaling)
+            x = (data.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+        else:                       # float32 (re, im) pairs
+            x = data
+        z = jax.lax.complex(x[:, 0], x[:, 1])
+        ix = starts[:, None] + jnp.arange(chunk_len, dtype=jnp.int32)
+        chunks = z[ix]
+
+        def one(chunk, skip):
+            _, outs = fsk.demod_stream(cfg, chunk, nf)
+            # blank halo-warmup + past-end frames to +1.0 (hard bit 0: can
+            # never hit the UW, so no spurious candidates) — keeps shapes
+            # static where the host path drops those frames
+            keep = outs.valid & (jnp.arange(nf, dtype=jnp.int32) >= skip)
+            soft = jnp.where(keep[:, None], outs.soft, 1.0).reshape(-1)
+            pb, ok, _, pos = deframe.deframe_topk(
+                soft, mode=mode, k=k, max_iter=max_iter)
+            return pb, ok, pos
+        return jax.vmap(one)(chunks, skips)
+    return jax.jit(run)
+
+
+def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
+                    cfg: fsk.FSKConfig | None = None, n_chunks: int = 16,
+                    warmup_frames: int = 8, max_iter: int = 10,
+                    input_format: str = "cu8", k_per_chunk: int | None = None):
+    """Single-dispatch capture decode: raw samples -> CRC-valid payloads.
+
+    The dispatch-latency-proof production ingest path (the contract of the
+    reference's benchmarking/test_demod.py:82-118, rtl_sdr bytes included):
+    ONE H2D transfer of the raw bytes, ONE device program for the whole
+    chain, one small D2H of decoded packets.  Acquisition is per-chunk
+    "all"/top-k with CRC gating (order-independent), deduplicated across
+    chunk halos by (content, approximate global bit position) exactly like
+    `decode_iq_parallel`.
+
+    k_per_chunk bounds the packets recovered per chunk; the default covers
+    a back-to-back packet stream with margin.
+    """
+    cfg = MODE_CONFIGS[mode] if cfg is None else cfg
+    import jax.numpy as jnp
+
+    if input_format == "cu8":
+        raw = np.asarray(raw, np.uint8)
+        n = len(raw) // 2
+    elif input_format == "c64":
+        iq = np.asarray(raw, np.complex64)
+        n = len(iq)
+    else:
+        conv, dtype, width = INPUT_CONVERTERS[input_format]
+        iq = conv(np.asarray(raw, dtype))
+        input_format = "c64"
+        n = len(iq)
+
+    syms_pp, chunk_len, starts, skips = _fused_geometry(
+        cfg, mode, n, n_chunks, warmup_frames)
+    nf = cfg.num_frames(chunk_len)
+    if k_per_chunk is None:
+        k_per_chunk = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
+
+    total = int(starts[-1]) + chunk_len
+    if input_format == "cu8":
+        data = np.full((total, 2), 127, np.uint8)   # 127 = 0.0 after centering
+        data[:n] = raw[: 2 * n].reshape(-1, 2)
+    else:
+        data = np.zeros((total, 2), np.float32)
+        data[:n] = iq.view(np.float32).reshape(-1, 2)
+
+    fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
+                        input_format)
+    pb, ok, pos = fn(jnp.asarray(data), jnp.asarray(starts),
+                     jnp.asarray(skips))
+    pb, ok, pos = np.asarray(pb), np.asarray(ok), np.asarray(pos)
+
+    results = []
+    for c in range(n_chunks):
+        base_bit = int(starts[c]) // cfg.Ts
+        for i in range(k_per_chunk):
+            if ok[c, i] and pos[c, i] >= 0:
+                results.append((base_bit + int(pos[c, i]),
+                                pb[c, i, :256].tobytes()))
+
+    # dedup: same content within one packet-length of global bit position
+    results.sort(key=lambda x: x[0])
+    payloads, last_pos = [], {}
+    for p, payload in results:
+        if payload in last_pos and p - last_pos[payload] < syms_pp:
+            last_pos[payload] = p
+            continue
+        last_pos[payload] = p
         payloads.append(payload)
     return payloads
 
