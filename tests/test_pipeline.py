@@ -121,3 +121,33 @@ def test_decode_below_cliff_yields_nothing():
     iq = channel.add_awgn(sig, 4.0, CFG.Fs, CFG.Rs, rng=rng)
     rx = Receiver(mode="v2", cfg=CFG)
     assert rx.decode_iq(iq) == []
+
+
+def test_cu8_receiver_matches_c64():
+    """cu8 receivers (device-side u8->complex) decode the same payloads as
+    c64 receivers fed the host-converted samples, chunked == one-shot."""
+    rng = np.random.default_rng(77)
+    sig, payloads = make_capture(6, rng)
+    iq = channel.add_awgn(sig, 13.0, CFG.Fs, CFG.Rs, rng=rng)
+    iq = iq / (np.abs(iq).max() + 1e-9)
+    raw = fsk.iq_to_cu8(iq)
+
+    ref = Receiver(mode="v2", cfg=CFG).decode_iq(fsk.iq_from_cu8(raw))
+    one = Receiver(mode="v2", cfg=CFG, input_format="cu8").decode_iq(raw)
+    assert one == ref
+
+    chunked = Receiver(mode="v2", cfg=CFG, input_format="cu8")
+    got = []
+    step = 2 * (len(raw) // 2 // 5)
+    for i in range(0, len(raw), step):
+        got += chunked.push(raw[i:i + step])
+    got += chunked.flush()
+    assert got == ref
+    assert len(ref) >= 5
+
+    pp = Receiver(mode="v2", cfg=CFG, input_format="cu8", pipelined=True)
+    got_pp = []
+    for i in range(0, len(raw), step):
+        got_pp += pp.push(raw[i:i + step])
+    got_pp += pp.flush()
+    assert got_pp == ref

@@ -203,6 +203,13 @@ def main(argv=None):
                   f"{scores.max():.0f}/{nuw}); leaving tuning unchanged",
                   file=sys.stderr)
 
+    # cu8 ingest with no mixing: push the raw rtl_sdr bytes and convert on
+    # device (halves H2D traffic, drops the host conversion from the loop)
+    raw_push = args.format == "cu8" and mix_frac == 0.0
+    if raw_push:
+        rx = Receiver(mode=args.mode, cfg=cfg, estimator_limits=limits,
+                      pipelined=args.pipelined, input_format="cu8")
+
     last_stats = 0.0
     t0 = time.time()
     next_deadline = t0
@@ -219,14 +226,18 @@ def main(argv=None):
                 if delay > 0:
                     time.sleep(delay)
             buf = np.frombuffer(raw, dtype=dtype)
-            iq = conv(buf)
-            if mix_frac:
-                n = mix_pos + np.arange(len(iq), dtype=np.float64)
-                iq = (iq * np.exp(-2j * np.pi * np.mod(n * mix_frac, 1.0))
-                      ).astype(np.complex64)
-            mix_pos += len(iq)
-            for payload in rx.push(iq):
-                router.handle_packet(payload)
+            if raw_push:
+                for payload in rx.push(buf):
+                    router.handle_packet(payload)
+            else:
+                iq = conv(buf)
+                if mix_frac:
+                    n = mix_pos + np.arange(len(iq), dtype=np.float64)
+                    iq = (iq * np.exp(-2j * np.pi * np.mod(n * mix_frac, 1.0))
+                          ).astype(np.complex64)
+                mix_pos += len(iq)
+                for payload in rx.push(iq):
+                    router.handle_packet(payload)
             now = time.time()
             if not args.no_udp and now - last_stats > 1.0 / args.stats_rate:
                 rec = rxstats.receiver_stats_record(rx)

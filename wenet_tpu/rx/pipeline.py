@@ -297,6 +297,44 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
     return payloads
 
 
+@_functools.lru_cache(maxsize=32)
+def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str):
+    """Compiled streaming-push program: ingest conversion (cu8 -> complex on
+    DEVICE — the rtl_sdr bytes are what crosses the wire, 4x less H2D than
+    complex64 pairs) + scan demod + on-device last-valid-frame stat gather.
+
+    Returns only what the host needs — (final carry, soft, valid,
+    small stats[, eye]) — instead of the full FrameOut stack: the D2H
+    fetch count/volume is what the pipelined path overlaps against, and
+    unused FrameOut fields were previously transferred only to be dropped.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def run(data, state, n_valid):
+        if fmt == "cu8":
+            x = (data.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+        else:                      # float32 (re, im) pairs
+            x = data
+        iq = jax.lax.complex(x[:, 0], x[:, 1])
+        res = fsk.demod_stream(cfg, iq, nf, state, n_valid=n_valid,
+                               with_eye=with_eye)
+        final, outs = res[0], res[1]
+        vidx = jnp.arange(nf, dtype=jnp.int32)
+        last = jnp.max(jnp.where(outs.valid, vidx, -1))
+        li = jnp.maximum(last, 0)
+        stats = jnp.concatenate([
+            jnp.stack([outs.ebno_db[li], outs.ppm[li],
+                       outs.valid.astype(jnp.float32).sum(),
+                       last.astype(jnp.float32)]),
+            outs.f_est[li].astype(jnp.float32)])
+        out = (final, outs.soft, outs.valid, stats)
+        if with_eye:
+            out = out + (res[2],)
+        return out
+    return jax.jit(run)
+
+
 class Receiver:
     """Streaming Wenet receiver (one logical channel).
 
@@ -304,11 +342,14 @@ class Receiver:
       mode: 'v1' or 'v2' (selects modem geometry and deframer variant)
       cfg:  optional FSKConfig override (e.g. scaled rates for tests)
       estimator_limits: optional (min_hz, max_hz) like fsk_demod -b/-u
+      input_format: 'c64' (push complex64 samples) or 'cu8' (push raw
+        rtl_sdr u8 IQ bytes; conversion happens on device, halving H2D
+        traffic and removing the host conversion from the hot loop)
       pipelined: overlap the device demod of chunk k+1 with the host-side
         deframe of chunk k (the PP the reference gets from its Unix-pipe
         process stages, SURVEY.md §2.3): each push first retires the carry
         state of the in-flight chunk, queues the new chunk's demod on the
-        device, and only then does the host-side work — asarray transfer,
+        device, and only then does the host-side work — soft-bit transfer,
         UW correlation, candidate gather — for the previous chunk while
         the device runs. Payloads therefore arrive one push late; call
         flush() at end-of-stream. Output is identical to the serial path.
@@ -316,11 +357,15 @@ class Receiver:
 
     def __init__(self, mode: str = "v2", cfg: fsk.FSKConfig | None = None,
                  estimator_limits: tuple | None = None, max_iter: int = 10,
-                 pipelined: bool = False, with_eye: bool = True):
+                 pipelined: bool = False, with_eye: bool = True,
+                 input_format: str = "c64"):
         self.mode = mode
         self.with_eye = with_eye     # False: skip the eye-probe scan carry
         #   (pure-decode callers compile a cheaper program; stats consumers
         #   need the default True for live eye_diagram records)
+        if input_format not in ("c64", "cu8"):
+            raise ValueError("input_format must be 'c64' or 'cu8'")
+        self.input_format = input_format
         base = MODE_CONFIGS[mode] if cfg is None else cfg
         if estimator_limits is not None:
             base = dataclasses.replace(
@@ -328,17 +373,21 @@ class Receiver:
         self.cfg = base
         self.deframer = deframe.StreamDeframer(mode, max_iter=max_iter)
         self.state = None            # DemodState, created lazily
-        self._history = np.zeros(0, np.complex64)
+        self._width = 2 if input_format == "cu8" else 1   # u8 units/sample
+        self._history = np.zeros(
+            0, np.uint8 if input_format == "cu8" else np.complex64)
         self.stats = RxStats()
         self.pipelined = pipelined
-        self._pending = None         # (final_dev, outs_dev, eye_dev, buf, n)
+        self._pending = None    # (final_dev, soft_dev, valid_dev, stats_dev,
+        #                          eye_dev, buf, n_new)
         self.last_eye = None         # (f_int (M,(Nsym+1)P) c64, high int)
 
     # ------------------------------------------------------------- one-shot
 
     def decode_iq(self, iq: np.ndarray) -> list:
         """Decode a whole capture; returns the CRC-valid payloads in order.
-        Equivalent to the full fsk_demod | {wenet,drs232}_ldpc pipeline."""
+        Equivalent to the full fsk_demod | {wenet,drs232}_ldpc pipeline.
+        Takes complex64 samples (c64 receivers) or raw u8 IQ bytes (cu8)."""
         payloads = self.push(iq)
         payloads += self.flush()
         return payloads
@@ -346,39 +395,48 @@ class Receiver:
     def decode_file(self, path: str, fmt: str = "cu8") -> list:
         conv, dtype, _ = INPUT_CONVERTERS[fmt]
         raw = np.fromfile(path, dtype=dtype)
+        if fmt == "cu8" and self.input_format == "cu8":
+            return self.decode_iq(raw)          # device-side conversion
         return self.decode_iq(conv(raw))
 
     # ------------------------------------------------------------ streaming
 
-    def _dispatch(self, iq_chunk: np.ndarray):
+    def _dispatch(self, chunk: np.ndarray):
         """Queue the demod scan for a chunk on the device; returns the
-        in-flight (final, outs, buf, n_new) or None if not enough samples."""
+        in-flight tuple or None if not enough samples buffered yet."""
+        import jax.numpy as jnp
+
         cfg = self.cfg
-        iq_chunk = np.asarray(iq_chunk, np.complex64)
-        buf = np.concatenate([self._history, iq_chunk])
+        w = self._width
+        if self.input_format == "cu8":
+            chunk = np.asarray(chunk, np.uint8)
+            chunk = chunk[: 2 * (len(chunk) // 2)]
+        else:
+            chunk = np.asarray(chunk, np.complex64)
+        buf = np.concatenate([self._history, chunk])
+        n_samples = len(buf) // w
         if self.state is None:
             self.state = fsk.demod_init(cfg)
         start_pos = int(self.state.pos)   # first unconsumed sample in buf
-        nf = cfg.num_frames(max(len(buf) - start_pos, 0))
-        if nf <= 0 or len(buf) < int(self.state.nin):
+        nf = cfg.num_frames(max(n_samples - start_pos, 0))
+        if nf <= 0 or n_samples < int(self.state.nin):
             self._history = buf
             return None
         # bucket shapes: pad the buffer and round the frame count so repeated
         # pushes of similar size reuse one compiled program
         nf = -(-nf // 32) * 32
-        blen = -(-len(buf) // (32 * cfg.N)) * (32 * cfg.N)
-        padded = np.zeros(blen, np.complex64)
-        padded[: len(buf)] = buf
-        if self.with_eye:
-            final, outs, eye = fsk.demod_stream(
-                cfg, compat.put_complex(padded), nf, self.state,
-                n_valid=len(buf), with_eye=True)
+        blen = -(-n_samples // (32 * cfg.N)) * (32 * cfg.N)
+        if self.input_format == "cu8":
+            data = np.full((blen, 2), 127, np.uint8)   # 127 == 0.0 centered
+            data[:n_samples] = buf.reshape(-1, 2)
         else:
-            final, outs = fsk.demod_stream(
-                cfg, compat.put_complex(padded), nf, self.state,
-                n_valid=len(buf))
-            eye = None
-        return final, outs, eye, buf, len(iq_chunk)
+            data = np.zeros((blen, 2), np.float32)
+            data[:n_samples] = buf.view(np.float32).reshape(-1, 2)
+        fn = _stream_program(cfg, nf, self.with_eye, self.input_format)
+        res = fn(jnp.asarray(data), self.state, n_samples)
+        final, soft, valid, stats = res[:4]
+        eye = res[4] if self.with_eye else None
+        return final, soft, valid, stats, eye, buf, len(chunk) // w
 
     def _retire_state(self, final, buf: np.ndarray):
         """Fold the in-flight chunk's scan carry back into host state
@@ -389,62 +447,60 @@ class Receiver:
         final = jax.tree.map(np.asarray, final)
         end_pos = int(final.pos)
         keep = min(end_pos, cfg.Nmem)
-        self._history = buf[end_pos - keep:]
+        self._history = buf[(end_pos - keep) * self._width:]
         self.state = final._replace(pos=np.int32(keep))
 
-    def _complete(self, outs, eye, n_new: int) -> list:
-        """Host-side half: transfer frame outputs, deframe, decode, CRC."""
-        import jax
-
-        outs = jax.tree.map(np.asarray, outs)
-        valid = outs.valid
-        soft = outs.soft[valid].reshape(-1)
-        nframes = int(valid.sum())
+    def _complete(self, soft, valid, stats, eye, n_new: int) -> list:
+        """Host-side half: transfer soft bits, deframe, decode, CRC."""
+        valid = np.asarray(valid)
+        soft = np.asarray(soft)[valid].reshape(-1)
+        stats = np.asarray(stats)
+        nframes = int(stats[2])
         if nframes and eye is not None:  # last valid frame's integrators
             self.last_eye = (compat.get_complex(eye[0]), int(eye[1]))
 
         self.stats.frames += nframes
         self.stats.samples += n_new
         if nframes:
-            last = np.flatnonzero(valid)[-1]
-            self.stats.ebno_db = float(outs.ebno_db[last])
-            self.stats.f_est = tuple(float(x) for x in outs.f_est[last])
-            self.stats.ppm = float(outs.ppm[last])
+            self.stats.ebno_db = float(stats[0])
+            self.stats.ppm = float(stats[1])
+            self.stats.f_est = tuple(float(x) for x in stats[4:])
 
         payloads = self.deframer.push(soft)
         self.stats.detections = self.deframer.n_detections
         self.stats.crc_ok = self.deframer.n_crc_ok
         return payloads
 
-    def push(self, iq_chunk: np.ndarray) -> list:
-        """Feed IQ samples; returns newly-completed CRC-valid payloads
-        (from the previous chunk when pipelined)."""
+    def push(self, chunk: np.ndarray) -> list:
+        """Feed samples (complex64, or raw u8 IQ bytes for cu8 receivers);
+        returns newly-completed CRC-valid payloads (from the previous chunk
+        when pipelined)."""
         if not self.pipelined:
-            inflight = self._dispatch(iq_chunk)
+            inflight = self._dispatch(chunk)
             if inflight is None:
                 return []
-            final, outs, eye, buf, n_new = inflight
+            final, soft, valid, stats, eye, buf, n_new = inflight
             self._retire_state(final, buf)
-            return self._complete(outs, eye, n_new)
+            return self._complete(soft, valid, stats, eye, n_new)
 
         payloads = []
         if self._pending is not None:
-            final, outs, eye, buf, n_prev = self._pending
+            final, soft, valid, stats, eye, buf, n_prev = self._pending
             self._pending = None
             # carry state first (cheap), THEN queue the next chunk's demod,
             # THEN do chunk k's host-side work while the device runs k+1
             self._retire_state(final, buf)
-            self._pending = self._dispatch(iq_chunk)
-            payloads = self._complete(outs, eye, n_prev)
+            self._pending = self._dispatch(chunk)
+            payloads = self._complete(soft, valid, stats, eye, n_prev)
         else:
-            self._pending = self._dispatch(iq_chunk)
+            self._pending = self._dispatch(chunk)
         return payloads
 
     def flush(self) -> list:
         """Drain the in-flight chunk (pipelined mode); serial mode no-op."""
         if self._pending is None:
             return []
-        final, outs, eye, buf, n_new = self._pending
+        final, soft, valid, stats, eye, buf, n_new = self._pending
         self._pending = None
         self._retire_state(final, buf)
-        return self._complete(outs, eye, n_new)
+        return self._complete(soft, valid, stats, eye, n_new)
