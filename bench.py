@@ -7,28 +7,39 @@ Baseline (BASELINE.md): the reference C chain decodes a 95 s Fs=921416
 capture in ~12 s on x86 => ~7.3 Msamples/s end-to-end, single core.
 
 Stage order (headline FIRST so a slow-compile day still lands it within the
-watchdog; every stage records partials as it finishes):
+watchdog; every stage checkpoints partial results as it measures):
   1. full_chain_msps   — batched v2 Monte-Carlo chain (demod scan -> UW
                          top-k deframe -> descramble -> BP decode -> CRC),
-                         B independent streams in one dispatch
-  2. stream_ingest     — REAL ingest: a cu8 capture at v2 flight rate pumped
-                         chunk-by-chunk through Receiver.push (host u8 ->
-                         complex conversion + H2D transfer included), both
-                         pipelined (PP: demod k+1 overlaps deframe k) and
-                         serial for comparison
+                         B independent streams x R noise rounds in ONE
+                         dispatch (WENET_BENCH_CHAIN_ROUNDS, default 16) so
+                         per-dispatch tunnel latency cannot dominate even on
+                         a degraded-backend day; dispatch overhead is
+                         measured and reported separately
+  2. stream_ingest     — REAL ingest (benchmarking/test_demod.py:82-118
+                         contract): a 95 s cu8 capture at v2 flight rate in
+                         host memory -> CRC-valid packets.  Measured paths:
+                         (a) decode_iq_fused — ONE H2D + ONE device program
+                         (demod+deframe+LDPC+CRC) + one small D2H;
+                         (b) Receiver.push streaming (12 s prefix), pipelined
+                         and serial, raw-cu8 device-side conversion.
+                         The headline stream_ingest_msps takes the fastest
+                         path that also decoded the expected packet count
+                         (throughput with missing packets doesn't count).
   3. ldpc rate         — decoder-only codewords/s
   4. pallas rate       — optional (WENET_BENCH_PALLAS=1)
 
 Robustness: compile latency on tunnelled TPU backends can be pathological
 (measured: the same program that compiles in 9 s on a good day ran >900 s
-on a bad one), so EACH STAGE runs in its own subprocess with a time budget
-carved out of the global watchdog; a stage that stalls in compile is
-killed and the remaining stages still run and land their numbers.  A
-persistent JAX compilation cache (.jax_cache/) makes retried runs (and
-the driver's end-of-round run) compile from cache.
+on a bad one, and one D2H fetch stalled 545 s mid-session on 2026-08-20),
+so EACH STAGE runs in its own subprocess with a time budget carved out of
+the global watchdog; a stage that stalls is terminated (SIGTERM -> its
+partial, already-checkpointed measurements survive) and the remaining
+stages still run.  A persistent JAX compilation cache (.jax_cache/) makes
+retried runs (and the driver's end-of-round run) compile from cache.
 """
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -40,6 +51,18 @@ import numpy as np
 RESULTS = {}
 BASELINE_MSPS = 7.3
 DONE = threading.Event()
+OUT_PATH = None          # set in child mode: incremental checkpoint target
+
+
+def _checkpoint():
+    """Dump RESULTS-so-far to the child's out file (atomic) so a stage
+    killed at its budget still lands everything it measured."""
+    if OUT_PATH is None:
+        return
+    tmp = OUT_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(RESULTS, f)
+    os.replace(tmp, OUT_PATH)
 
 
 def emit():
@@ -78,9 +101,29 @@ def _stage(name):
                 return fn(*a, **k)
             except Exception as e:            # tunnelled-TPU flakiness
                 RESULTS[f"{name}_error"] = repr(e)[:160]
+                _checkpoint()
                 return None
         return run
     return wrap
+
+
+def _dispatch_overhead(key: str):
+    """Round-trip time of a trivial program: the tunnel's per-dispatch floor
+    (measured 0.1 ms on a good day, ~1.5 s on a degraded one).  Reported so
+    a slow day is visible in the record instead of silently deflating the
+    throughput numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x * 2.0 + 1.0)
+    z = jnp.ones((8, 128), jnp.float32)
+    np.asarray(tiny(z))                        # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.asarray(tiny(z))
+    RESULTS[key] = round((time.perf_counter() - t0) / 5, 4)
+    _checkpoint()
+    return RESULTS[key]
 
 
 def make_packet_bits(cfg, n_packets, rng, gap_bits=512):
@@ -99,13 +142,18 @@ def make_packet_bits(cfg, n_packets, rng, gap_bits=512):
 
 
 @_stage("chain")
-def stage_chain(reps=3):
-    """Headline: B independent v2 streams through the WHOLE chain on device."""
+def stage_chain(reps=2):
+    """Headline: B streams x R noise rounds through the WHOLE chain, one
+    dispatch.  R rounds run as a lax.scan INSIDE the program so the work
+    per dispatch scales without scaling memory — on a degraded day the
+    fixed ~1.5 s dispatch cost amortizes over R x B x len(sig) samples."""
     import jax
     import jax.numpy as jnp
     from wenet_tpu.ops import deframe, fsk
     from wenet_tpu.utils import compat
     from wenet_tpu.utils.rng import prng_key
+
+    overhead = _dispatch_overhead("chain_dispatch_overhead_s")
 
     cfg = fsk.V2_CONFIG                      # Fs=960000, Rs=96000
     n_packets = 12
@@ -116,8 +164,9 @@ def stage_chain(reps=3):
     sig_j = compat.put_complex(sig)
     nf = cfg.num_frames(len(sig))
     # B=256 saturates the chip (tools/chain_scaling.py: 3.1 GS/s @ B=8,
-    # 212 GS/s @ B>=256 -- per-dispatch tunnel latency amortizes out)
+    # 212 GS/s @ B>=256); R rounds amortize per-dispatch tunnel latency
     B = int(os.environ.get("WENET_BENCH_STREAMS", "256"))
+    R = int(os.environ.get("WENET_BENCH_CHAIN_ROUNDS", "16"))
     ebnos = jnp.linspace(8.0, 15.0, B)
 
     @jax.jit
@@ -138,111 +187,204 @@ def stage_chain(reps=3):
             _, ok, _, _ = deframe.deframe_topk(
                 outs.soft.reshape(-1), mode="v2", k=n_packets)
             return jnp.sum(ok.astype(jnp.int32))
-        return jax.vmap(one)(keys, ebno_db)
 
-    keys = jax.random.split(prng_key(1), B)
+        def one_round(acc, ks):
+            return acc + jax.vmap(one)(ks, ebno_db), None
+        acc, _ = jax.lax.scan(one_round, jnp.zeros((ebno_db.shape[0],),
+                                                   jnp.int32), keys)
+        return acc
+
+    def round_keys(seed):
+        return jax.random.split(prng_key(seed), R * B).reshape(R, B, -1)
+
+    keys = round_keys(1)
     t0 = time.perf_counter()
     lowered = chain.lower(sig_j, keys, ebnos)
     compiled = lowered.compile()
     RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
-    try:   # XLA's own FLOP count of the optimized program (audit, VERDICT #2)
+    try:   # XLA's own FLOP count of the optimized program (audit artifact)
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         RESULTS["chain_xla_gflops"] = round(ca["flops"] / 1e9, 1)
     except Exception:
         pass
+    _checkpoint()
     t0 = time.perf_counter()
     ok = compiled(sig_j, keys, ebnos)
     ok.block_until_ready()
     RESULTS["chain_first_run_s"] = round(time.perf_counter() - t0, 2)
+    _checkpoint()
     t0 = time.perf_counter()
     for r in range(reps):
-        ok = compiled(sig_j, jax.random.split(prng_key(2 + r), B), ebnos)
+        ok = compiled(sig_j, round_keys(2 + r), ebnos)
     ok.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
-    RESULTS["packets_ok"] = int(np.asarray(ok).sum())
-    RESULTS["packets_sent"] = B * n_packets
-    msps = B * len(sig) / dt / 1e6
+    ok = np.asarray(ok)                            # (B,) per-stream counts
+    RESULTS["packets_ok"] = int(ok.sum())
+    RESULTS["packets_sent"] = R * B * n_packets
+    # streams deliberately span Eb/N0 8-15 dB ACROSS the decode cliff
+    # (~9.5 dB, BASELINE.md) to exercise max-iteration churn; the parity
+    # band >= 10.5 dB is where full decode is expected
+    band = np.asarray(ebnos) >= 10.5
+    RESULTS["packets_ok_parity_band"] = int(ok[band].sum())
+    RESULTS["packets_sent_parity_band"] = int(R * n_packets * band.sum())
+    RESULTS["packets_note"] = (
+        "streams span EbN0 8-15 dB across the ~9.5 dB decode cliff by "
+        "design; sub-cliff losses are expected (parity band reported "
+        "separately)")
+    samples = R * B * len(sig)
+    msps = samples / dt / 1e6
     RESULTS["full_chain_msps"] = round(msps, 1)
+    RESULTS["full_chain_msps_program"] = round(
+        samples / max(dt - overhead, 1e-9) / 1e6, 1)   # minus tunnel floor
     RESULTS["realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)
     RESULTS["batch_streams"] = B
+    RESULTS["chain_rounds"] = R
     if "chain_xla_gflops" in RESULTS:
         RESULTS["chain_xla_tflops_per_s"] = round(
             RESULTS["chain_xla_gflops"] / dt / 1e3, 3)
+    _checkpoint()
 
 
 @_stage("stream")
-def stage_stream(seconds=None):
-    """Real-ingest streaming: cu8 capture -> Receiver.push at flight rate.
-
-    Measures wall time INCLUDING host u8->complex conversion and H2D
-    transfer (the benchmarking/test_demod.py:82-118 contract), on the same
-    capture for pipelined (PP) and serial push paths."""
-    from wenet_tpu.ops import channel, fsk
-    from wenet_tpu.rx.pipeline import Receiver
+def stage_stream():
+    """Real-ingest: raw cu8 bytes in host memory -> CRC-valid packets,
+    wall-clock including H2D (the benchmarking/test_demod.py:82-118
+    contract).  The capture itself is generated ON DEVICE (the host
+    modulator runs ~3 MS/s; a 95 s capture would take half the stage
+    budget) and fetched once as bytes before timing starts."""
+    import jax
+    import jax.numpy as jnp
+    from wenet_tpu.ops import fsk
+    from wenet_tpu.rx.pipeline import Receiver, decode_iq_fused
+    from wenet_tpu.utils.rng import prng_key
 
     cfg = fsk.V2_CONFIG
-    seconds = seconds or float(os.environ.get("WENET_BENCH_STREAM_SECS", 12))
+    tpu = jax.devices()[0].platform == "tpu"
+    secs = float(os.environ.get("WENET_BENCH_STREAM_SECS",
+                                "95" if tpu else "6"))
+    ebno_db = 12.0                           # above the ~9.5 dB cliff
+    overhead = _dispatch_overhead("dispatch_overhead_s")
+
+    # ---- capture generation (device): exact int64 phase accumulator on
+    # host (fsk_mod's int32 two-level wrap caps at ~500k symbols), trig +
+    # AWGN + u8 quantization on device, one D2H of the raw bytes
     rng = np.random.default_rng(3)
-    n_bits = int(seconds * cfg.Rs)
-    n_packets = max(n_bits // (343 * 8 + 512) - 1, 1)
+    n_bits = int(secs * cfg.Rs)
+    pkt_cycle = 343 * 8 + 512                # v2 frame bits + gap
+    n_packets = max(n_bits // pkt_cycle - 1, 1)
     bits = make_packet_bits(cfg, n_packets, rng)
-    sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
-    iq = channel.add_awgn(sig.astype(np.complex64), 12.0, cfg.Fs, cfg.Rs,
-                          rng=rng)
-    raw = fsk.iq_to_cu8(iq)                    # the rtl_sdr byte stream
-    RESULTS["stream_capture_s"] = round(len(iq) / cfg.Fs, 1)
+    f_tab = np.array([2 * cfg.Rs, 3 * cfg.Rs], np.int64)   # fsk_mod_np tones
+    freqs = f_tab[bits.astype(np.int64)]
+    sym_adv = (freqs * cfg.Ts) % cfg.Fs
+    start = np.zeros(len(bits), np.int64)
+    np.cumsum(sym_adv[:-1], out=start[1:])
+    start %= cfg.Fs
+    nvar = 4.0 * cfg.Fs / (cfg.Rs * 10.0 ** (ebno_db / 10.0))  # |sig|^2 = 4
+
+    @jax.jit
+    def gen(start_, freqs_, key):
+        j = jnp.arange(1, cfg.Ts + 1, dtype=jnp.int32)
+        acc = (start_[:, None] + freqs_[:, None] * j) % cfg.Fs
+        theta = acc.astype(jnp.float32) * np.float32(2 * np.pi / cfg.Fs)
+        sig = 2.0 * jax.lax.complex(jnp.cos(theta), jnp.sin(theta)).reshape(-1)
+        z = jax.random.normal(key, (sig.shape[0], 2), jnp.float32)
+        iq = sig + jnp.sqrt(nvar / 2) * jax.lax.complex(z[:, 0], z[:, 1])
+        iq = iq / jnp.max(jnp.abs(iq))
+        x = jnp.stack([iq.real, iq.imag], axis=-1).reshape(-1)
+        return jnp.clip(jnp.round(x * 128.0 + 127.0), 0, 255).astype(jnp.uint8)
+
+    t0 = time.perf_counter()
+    raw = np.asarray(gen(jnp.asarray(start.astype(np.int32)),
+                         jnp.asarray(freqs.astype(np.int32)), prng_key(7)))
+    RESULTS["stream_capture_gen_s"] = round(time.perf_counter() - t0, 1)
+    n_samples = len(raw) // 2
+    RESULTS["stream_capture_s"] = round(n_samples / cfg.Fs, 1)
     RESULTS["stream_packets_sent"] = n_packets
-    chunk = int(cfg.Fs * 2.0) * 2              # 2 s of cu8 bytes per push
+    _checkpoint()
+
+    # ---- H2D bandwidth of the raw bytes (context for the ingest numbers)
+    d = jax.device_put(raw)
+    d.block_until_ready()
+    t0 = time.perf_counter()
+    d = jax.device_put(raw)
+    d.block_until_ready()
+    RESULTS["h2d_mbps"] = round(len(raw) / (time.perf_counter() - t0) / 1e6, 0)
+    del d
+    _checkpoint()
+
+    candidates = []      # (msps, gate_ok, label)
+
+    # ---- fused ONE-dispatch path (the production file/batch ingest)
+    n_chunks = int(os.environ.get("WENET_BENCH_PAR_CHUNKS", "16"))
+    t0 = time.perf_counter()
+    pk = decode_iq_fused(raw, mode="v2", n_chunks=n_chunks,
+                         input_format="cu8")
+    RESULTS["stream_fused_first_call_s"] = round(time.perf_counter() - t0, 1)
+    _checkpoint()
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pk = decode_iq_fused(raw, mode="v2", n_chunks=n_chunks,
+                             input_format="cu8")
+        dts.append(time.perf_counter() - t0)
+    dt_fused = min(dts)
+    # correctness gate: a fast path that lost packets doesn't set the
+    # headline (cold-start warmup can cost the first packet; seams none)
+    fused_gate = len(pk) >= n_packets - 2
+    RESULTS["stream_fused_chunks"] = n_chunks
+    RESULTS["stream_fused_msps"] = round(n_samples / dt_fused / 1e6, 2)
+    RESULTS["stream_fused_packets_ok"] = len(pk)
+    RESULTS["stream_fused_gate"] = bool(fused_gate)
+    candidates.append((n_samples / dt_fused, fused_gate, "fused"))
+    _checkpoint()
+
+    # ---- live streaming path: Receiver.push of raw cu8 chunks (device-side
+    # conversion), pipelined (PP) vs serial, on a 12 s prefix
+    push_secs = min(secs, 12.0)
+    sub = raw[: 2 * int(push_secs * cfg.Fs)]
+    push_samples = len(sub) // 2
+    push_expected = max(int(push_secs * cfg.Rs) // pkt_cycle - 1, 1)
+    chunk = 2 * int(cfg.Fs * 2.0)            # 2 s of cu8 bytes per push
 
     def run(pipelined):
-        # with_eye=False: the pure-decode program (stats consumers keep the
-        # default True; the eye carry is only worth paying when emitted)
-        rx = Receiver(mode="v2", pipelined=pipelined, with_eye=False)
+        rx = Receiver(mode="v2", pipelined=pipelined, with_eye=False,
+                      input_format="cu8")
         got = 0
         t0 = time.perf_counter()
-        for i in range(0, len(raw), chunk):
-            got += len(rx.push(fsk.iq_from_cu8(raw[i:i + chunk])))
+        for i in range(0, len(sub), chunk):
+            got += len(rx.push(sub[i:i + chunk]))
         got += len(rx.flush())
         return time.perf_counter() - t0, got
 
     t0 = time.perf_counter()
     _, got_warm = run(True)                    # compile pass
-    RESULTS["stream_compile_s"] = round(time.perf_counter() - t0, 1)
-    RESULTS["stream_packets_ok"] = got_warm
-    dt_pp, _ = run(True)
-    dt_serial, _ = run(False)
-    RESULTS["stream_pp_msps"] = round(len(iq) / dt_pp / 1e6, 2)
-    RESULTS["stream_serial_msps"] = round(len(iq) / dt_serial / 1e6, 2)
+    RESULTS["stream_push_compile_s"] = round(time.perf_counter() - t0, 1)
+    RESULTS["stream_push_packets_ok"] = got_warm
+    RESULTS["stream_push_packets_sent"] = push_expected
+    _checkpoint()
+    dt_pp, got_pp = run(True)
+    dt_serial, got_serial = run(False)
+    RESULTS["stream_pp_msps"] = round(push_samples / dt_pp / 1e6, 2)
+    RESULTS["stream_serial_msps"] = round(push_samples / dt_serial / 1e6, 2)
     RESULTS["pp_speedup"] = round(dt_serial / dt_pp, 2)
+    candidates.append((push_samples / dt_pp, got_pp >= push_expected - 2,
+                       "push_pp"))
+    candidates.append((push_samples / dt_serial,
+                       got_serial >= push_expected - 2, "push_serial"))
 
-    # overlap-save parallel ingest (the production file/batch path): raw
-    # rtl_sdr bytes to the device, u8->complex conversion + chunk gather +
-    # 16 concurrent scan demods in ONE dispatch; host deframe + one decode
-    # dispatch.  Same capture, same contract (includes H2D of the bytes).
-    from wenet_tpu.rx.pipeline import decode_iq_parallel
-    dt_par = None
-    n_chunks = int(os.environ.get("WENET_BENCH_PAR_CHUNKS", "16"))
-    try:
-        t0 = time.perf_counter()
-        pk = decode_iq_parallel(raw, mode="v2", n_chunks=n_chunks,
-                                input_format="cu8")
-        RESULTS["stream_parallel_compile_s"] = round(
-            time.perf_counter() - t0, 1)
-        t0 = time.perf_counter()
-        pk = decode_iq_parallel(raw, mode="v2", n_chunks=n_chunks,
-                                input_format="cu8")
-        dt_par = time.perf_counter() - t0
-        RESULTS["stream_parallel_chunks"] = n_chunks
-        RESULTS["stream_parallel_msps"] = round(len(iq) / dt_par / 1e6, 2)
-        RESULTS["stream_parallel_packets_ok"] = len(pk)
-    except Exception as e:
-        RESULTS["stream_parallel_error"] = repr(e)[:160]
-
-    best = min(d for d in (dt_pp, dt_serial, dt_par) if d)
-    msps = len(iq) / best / 1e6                # best real-ingest path
-    RESULTS["stream_ingest_msps"] = round(msps, 2)
-    RESULTS["stream_realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)
+    # ---- headline: fastest CORRECT path (ADVICE r2: never let a path that
+    # decoded fewer packets set the number)
+    gated = [c for c in candidates if c[1]]
+    if gated:
+        rate, _, label = max(gated)
+        RESULTS["stream_ingest_msps"] = round(rate / 1e6, 2)
+        RESULTS["stream_ingest_path"] = label
+        RESULTS["stream_realtime_x"] = round(rate / cfg.Fs, 1)
+    else:
+        RESULTS["stream_ingest_gate_failed"] = [
+            {"path": c[2], "msps": round(c[0] / 1e6, 2)} for c in candidates]
+    _checkpoint()
 
 
 @_stage("ldpc")
@@ -267,6 +409,7 @@ def stage_ldpc(reps=3):
     bits_out.block_until_ready()
     RESULTS["ldpc_codewords_per_s"] = round(
         nB * reps / (time.perf_counter() - t0), 0)
+    _checkpoint()
 
     # normalized min-sum (transcendental-free Monte-Carlo engine)
     b2, _, _ = ldpc.decode_minsum(llr)
@@ -277,6 +420,7 @@ def stage_ldpc(reps=3):
     b2.block_until_ready()
     RESULTS["minsum_codewords_per_s"] = round(
         nB * reps / (time.perf_counter() - t0), 0)
+    _checkpoint()
 
     if os.environ.get("WENET_BENCH_PALLAS") == "1":
         try:
@@ -293,6 +437,7 @@ def stage_ldpc(reps=3):
                 nB * reps / (time.perf_counter() - t0), 0)
         except Exception as e:              # backend Pallas gaps: keep going
             RESULTS["pallas_error"] = repr(e)[:160]
+        _checkpoint()
 
 
 def _configure_jax():
@@ -309,25 +454,35 @@ STAGES = {"chain": stage_chain, "stream": stage_stream, "ldpc": stage_ldpc}
 
 
 def run_stage_child(name: str, out_path: str):
-    """Child mode: run ONE stage, write its RESULTS to out_path."""
+    """Child mode: run ONE stage, checkpointing RESULTS to out_path after
+    every measurement; SIGTERM (parent budget) flushes and exits."""
+    global OUT_PATH
+    OUT_PATH = out_path
+
+    def on_term(signum, frame):
+        RESULTS[f"{name}_stage_timeout"] = True
+        _checkpoint()
+        os._exit(1)
+    signal.signal(signal.SIGTERM, on_term)
+
     jax = _configure_jax()
     RESULTS["platform"] = jax.devices()[0].platform
     STAGES[name]()
-    with open(out_path, "w") as f:
-        json.dump(RESULTS, f)
+    _checkpoint()
 
 
 def main(total_budget: float):
     """Orchestrate: each stage in its own subprocess with a time budget.
 
     A stage whose compile stalls (tunnelled-TPU bad days: >900 s observed
-    for a program that takes 9 s on a good day) is killed at its budget and
-    the NEXT stage still runs — so a bad day lands the cheap stages and a
-    good day lands everything.  Budget split leaves headroom for the
-    later stages: chain <= 55%, stream <= 30% of remaining, ldpc the rest."""
+    for a program that takes 9 s on a good day) is SIGTERMed at its budget
+    — its checkpointed partial results survive — and the NEXT stage still
+    runs, so a bad day lands the cheap stages and a good day lands
+    everything.  Budget split: chain <= 45% of total, stream 75% of the
+    remainder, ldpc the rest."""
     t_end = time.time() + total_budget - 15.0        # reserve for emit
-    order = [("chain", 0.55 * total_budget),
-             ("stream", None),                        # 60% of what's left
+    order = [("chain", 0.45 * total_budget),
+             ("stream", None),                        # 75% of what's left
              ("ldpc", None)]
     for i, (name, budget) in enumerate(order):
         remaining = t_end - time.time()
@@ -335,18 +490,25 @@ def main(total_budget: float):
             RESULTS[f"{name}_skipped"] = "budget exhausted"
             continue
         if budget is None:
-            budget = remaining if i == len(order) - 1 else 0.6 * remaining
+            budget = remaining if i == len(order) - 1 else 0.75 * remaining
         budget = min(budget, remaining)
         out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
         t0 = time.time()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--stage", name, "--out", out],
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True)
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--stage", name, "--out", out],
-                timeout=budget, capture_output=True, text=True)
+            _, err = proc.communicate(timeout=budget)
             if proc.returncode != 0:
-                RESULTS[f"{name}_error"] = (proc.stderr or "")[-160:]
+                RESULTS[f"{name}_error"] = (err or "")[-160:]
         except subprocess.TimeoutExpired:
+            proc.terminate()                  # SIGTERM: child checkpoints
+            try:
+                proc.communicate(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.communicate()
             RESULTS[f"{name}_stage_timeout_s"] = round(time.time() - t0, 0)
         try:
             with open(out) as f:
@@ -367,8 +529,9 @@ if __name__ == "__main__":
         try:
             run_stage_child(name, out_path)
         except Exception as e:
-            with open(out_path, "w") as f:
-                json.dump({f"{name}_error": repr(e)[:160]}, f)
+            RESULTS[f"{name}_error"] = repr(e)[:160]
+            OUT_PATH = out_path
+            _checkpoint()
         raise SystemExit(0)
 
     total = float(os.environ.get("WENET_BENCH_TIMEOUT", 480))

@@ -47,8 +47,8 @@ echo "$MYCALL: rtl_sdr dev$DEVICE @ ${RX_SSB_FREQ} Hz, ${SDR_RATE} S/s," \
      "mode $FRAMING_MODE (baud $BAUD_RATE)" >&2
 
 exec rtl_sdr -d "$DEVICE" -s "$SDR_RATE" -f "$RX_SSB_FREQ" \
-        "${GAIN_ARGS[@]}" - | \
+        ${GAIN_ARGS[@]+"${GAIN_ARGS[@]}"} - | \
     python3 -m wenet_tpu rx - --format cu8 --mode "$FRAMING_MODE" \
         --fs "$SDR_RATE" --rs "$BAUD_RATE" \
         --image-dir "$IMAGE_DIR" --log-dir "$LOG_DIR" --partialupdate 32 \
-        "${EXTRA[@]}"
+        ${EXTRA[@]+"${EXTRA[@]}"}
