@@ -152,3 +152,119 @@ def test_full_system_image_downlink(tmp_path):
     a2 = np.asarray(Image.open(decoded["jpg"]), np.float32)
     assert a1.shape == a2.shape
     assert np.abs(a1 - a2).mean() < 3.0        # zero packet loss at 14 dB
+
+
+def test_ssdv_wire_layout_ukhas():
+    """Byte-exact UKHAS/fsphil packet layout (ukhas.org.uk/guides:ssdv —
+    the format rx_ssdv.py:243's external binary and ssdv.habhub.org expect):
+    15-byte header, flags = [b0-1 subsampling, b2 EOI, b3-5 quality],
+    237-byte no-FEC payload, CRC-32 (BE) over bytes 1..251."""
+    import struct
+    import zlib
+    pkts = ssdv.encode(make_jpeg(), "VK5QI", 9, quality=6)
+    p = pkts[0]
+    assert p[0] == 0x55 and p[1] == 0x67
+    assert p[6] == 9
+    assert struct.unpack(">H", p[7:9])[0] == 0          # packet 0
+    assert (p[9], p[10]) == (320 // 16, 240 // 16)
+    assert p[11] & 0x03 == 0                            # 2x2 (PIL 4:2:0)
+    assert not p[11] & 0x04                             # not EOI
+    assert (p[11] >> 3) & 7 == 6                        # quality level
+    assert p[12] == 0 and struct.unpack(">H", p[13:15])[0] == 0
+    assert struct.unpack(">I", p[252:256])[0] == zlib.crc32(p[1:252])
+    last = pkts[-1]
+    assert last[11] & 0x04                              # EOI flag set
+    # corrupting any payload byte must fail the CRC gate
+    bad = bytearray(p)
+    bad[100] ^= 0x40
+    assert not ssdv.packet_info(bytes(bad))["crc_ok"]
+
+
+def test_rs255_223_roundtrip_and_correction():
+    from wenet_tpu.ssdv import rs
+    rng = np.random.default_rng(8)
+    data = rng.integers(0, 256, rs.KK, dtype=np.uint8).tobytes()
+    cw = data + rs.encode(data)
+    assert len(cw) == 255 and rs.check(cw)
+    # single byte error
+    c = bytearray(cw)
+    c[40] ^= 0x5A
+    fixed, n = rs.correct(bytes(c))
+    assert n == 1 and fixed == cw
+    # 16 byte errors (the t = NROOTS/2 capability limit)
+    c = bytearray(cw)
+    for pos in rng.choice(255, 16, replace=False):
+        c[pos] ^= int(rng.integers(1, 256))
+    fixed, n = rs.correct(bytes(c))
+    assert n == 16 and fixed == cw
+    # 17 errors: must refuse, not mis-correct
+    c = bytearray(cw)
+    for pos in rng.choice(255, 17, replace=False):
+        c[pos] ^= int(rng.integers(1, 256))
+    fixed, n = rs.correct(bytes(c))
+    assert n == -1 or fixed != cw[:40] + bytes(c[40:41]) + cw[41:]
+
+
+def test_ssdv_fec_mode_roundtrip():
+    """Type-0x66 packets: 205 B payload, CRC at [220:224], RS parity at
+    [224:256]; decode corrects byte errors via RS when the CRC fails."""
+    import struct
+    import zlib
+    from wenet_tpu.ssdv import rs
+    jpg = make_jpeg(160, 128, seed=5)
+    pkts = ssdv.encode(jpg, "VK5QI", 2, fec=True)
+    p = pkts[0]
+    assert p[1] == 0x66 and len(p) == 256
+    assert struct.unpack(">I", p[220:224])[0] == zlib.crc32(p[1:220])
+    assert rs.check(p[1:])
+    out = ssdv.decode(pkts)
+    a1 = np.asarray(Image.open(io.BytesIO(jpg)), np.float32)
+    a2 = np.asarray(Image.open(io.BytesIO(out)), np.float32)
+    assert np.abs(a1 - a2).mean() < 3.0
+
+    # corrupt 6 bytes of every packet: RS must recover the exact image
+    rng = np.random.default_rng(9)
+    mangled = []
+    for p in pkts:
+        b = bytearray(p)
+        for pos in rng.choice(np.arange(1, 256), 6, replace=False):
+            b[pos] ^= int(rng.integers(1, 256))
+        mangled.append(bytes(b))
+    out2 = ssdv.decode(mangled)
+    assert out2 == out
+
+
+def test_ssdv_external_adapter(tmp_path, monkeypatch):
+    """The external-binary adapter shells out with the reference's exact
+    argv (rx_ssdv.py:243 / WenetPiCamera2.py:420-432); driven against a
+    stub `ssdv` since the real binary isn't installable here."""
+    import os
+    import stat
+    from wenet_tpu.ssdv import external
+
+    stub = tmp_path / "bin" / "ssdv"
+    stub.parent.mkdir()
+    stub.write_text('#!/bin/bash\nprintf "%%s " "$@" > %s/argv.txt\n'
+                    'touch "${@: -1}"\nexit 0\n' % tmp_path)
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{stub.parent}:{os.environ['PATH']}")
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"\x55" * 256)
+    assert external.available()
+    assert external.decode_file(str(src), str(tmp_path / "out.jpg"))
+    argv = (tmp_path / "argv.txt").read_text().split()
+    assert argv[0] == "-d"
+
+    assert external.encode_file(str(tmp_path / "in.jpg"),
+                                str(tmp_path / "out.bin"),
+                                "VK5QI", 3, quality=6)
+    argv = (tmp_path / "argv.txt").read_text().split()
+    assert argv[:8] == ["-e", "-n", "-q", "6", "-c", "VK5QI", "-i", "3"]
+
+    # router accepts it at the injection point
+    from wenet_tpu.rx.router import PacketRouter, UDPEmitter
+    r = PacketRouter(image_dir=str(tmp_path / "img"),
+                     emitter=UDPEmitter(enabled=False),
+                     ssdv_decoder=external.decode_file)
+    assert r.ssdv_decoder is external.decode_file

@@ -447,10 +447,10 @@ def eye_diagram(f_int: np.ndarray, P: int, high_sample: int, M: int,
 # ------------------------------------------------------------ stream driver
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_frames", "with_eye"))
+@partial(jax.jit, static_argnames=("cfg", "num_frames", "with_eye", "unroll"))
 def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
                  state: DemodState | None = None, n_valid=None,
-                 with_eye: bool = False):
+                 with_eye: bool = False, unroll: int = 1):
     """Demodulate a capture: iq (n,) complex64 -> per-frame FrameOut stack.
 
     The fread(nin)/samp_old state machine (fsk_demod.c:270, fsk.c:187-199)
@@ -507,9 +507,10 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
         eye0 = (jnp.zeros((cfg.M, (cfg.Nsym + 1) * cfg.P), jnp.complex64),
                 jnp.zeros((), jnp.int32))
         (final, eye), outs = jax.lax.scan(step, (state, eye0), None,
-                                          length=num_frames)
+                                          length=num_frames, unroll=unroll)
         return final, outs, eye
-    final, outs = jax.lax.scan(step, state, None, length=num_frames)
+    final, outs = jax.lax.scan(step, state, None, length=num_frames,
+                               unroll=unroll)
     return final, outs
 
 

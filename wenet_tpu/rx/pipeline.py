@@ -202,17 +202,25 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
     import jax.numpy as jnp
 
     def run(data, starts, skips):
-        if fmt == "cu8":
-            # u8 IQ pairs -> complex on device (fsk_demod.c:281-287 scaling)
-            x = (data.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
-        else:                       # float32 (re, im) pairs
-            x = data
-        z = jax.lax.complex(x[:, 0], x[:, 1])
+        # pad on DEVICE (one chunk_len of silence) so the host hands over a
+        # zero-copy view of the raw capture — on a bandwidth-degraded tunnel
+        # the H2D of the bytes is the wall; a host-side pad copy of the
+        # whole capture costs real wall-clock for nothing
+        pad_val = 127 if fmt == "cu8" else 0       # 127 == 0.0 after center
+        pad = jnp.full((chunk_len, 2), pad_val, data.dtype)
+        buf = jnp.concatenate([data, pad], axis=0)
         ix = starts[:, None] + jnp.arange(chunk_len, dtype=jnp.int32)
-        chunks = z[ix]
+        chunks = buf[ix]                  # (C, chunk_len, 2) raw pairs
 
         def one(chunk, skip):
-            _, outs = fsk.demod_stream(cfg, chunk, nf)
+            # format conversion per chunk, after the gather: avoids
+            # materialising full-capture f32/complex intermediates in HBM
+            if fmt == "cu8":
+                x = (chunk.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+            else:                         # float32 (re, im) pairs
+                x = chunk
+            z = jax.lax.complex(x[..., 0], x[..., 1])
+            _, outs = fsk.demod_stream(cfg, z, nf)
             # blank halo-warmup + past-end frames to +1.0 (hard bit 0: can
             # never hit the UW, so no spurious candidates) — keeps shapes
             # static where the host path drops those frames
@@ -263,13 +271,10 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
     if k_per_chunk is None:
         k_per_chunk = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
 
-    total = int(starts[-1]) + chunk_len
     if input_format == "cu8":
-        data = np.full((total, 2), 127, np.uint8)   # 127 = 0.0 after centering
-        data[:n] = raw[: 2 * n].reshape(-1, 2)
+        data = raw[: 2 * n].reshape(-1, 2)          # zero-copy view
     else:
-        data = np.zeros((total, 2), np.float32)
-        data[:n] = iq.view(np.float32).reshape(-1, 2)
+        data = iq.view(np.float32).reshape(-1, 2)   # zero-copy view
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
                         input_format)

@@ -1,30 +1,41 @@
-"""SSDV codec: JPEG <-> loss-tolerant fixed-size packets.
+"""SSDV codec: JPEG <-> loss-tolerant fixed-size packets (fsphil/ssdv
+packet layout, UKHAS guide `ukhas.org.uk/guides:ssdv` — the format the
+reference shells out for: rx/rx_ssdv.py:243, tx/WenetPiCamera2.py:420-432,
+and that ssdv.habhub.org expects from the uploader, ssdvuploader.py:101).
 
-Native replacement for the external `ssdv` binary the reference shells out
-to (rx/rx_ssdv.py:243, tx/WenetPiCamera2.py:420-432).  Same architecture as
-fsphil's SSDV — entropy-level transcode of baseline JPEG into 256-byte
-packets, each independently decodable from its first fresh MCU — with the
-same header fields Wenet parses (sync/type/callsign/image_id/packet_id/
-width/height: rx/WenetPackets.py:74-123), re-quantisation onto standard
-tables selected by a 3-bit quality index, and per-packet DC-predictor
-resets for loss resilience.
+Architecture (same as fsphil's): entropy-level transcode of baseline JPEG —
+re-quantisation onto standard Annex K tables scaled by a 3-bit quality
+level, standard JPEG Huffman coding into a continuous bitstream packetised
+into 256-byte packets.  The first MCU to begin inside each packet starts
+byte-aligned with absolute (predictor-reset) DC values, and the header
+records its byte offset and MCU index, so any packet is independently
+enterable; lost packets cost only the MCUs they carried.
 
-Packet layout (256 B, no-FEC — Wenet's `ssdv -e -n` configuration; the
-outer LDPC supersedes RS FEC):
+Packet layout (no-FEC, type 0x67 — Wenet's `ssdv -e -n` configuration; the
+outer LDPC supersedes RS FEC.  FEC-mode 0x66 packets are also decoded,
+with the RS codes ignored):
 
-  [0]     0x55 sync          [1]     0x67 type (no-FEC)
+  [0]     0x55 sync          [1]     0x66 FEC / 0x67 no-FEC
   [2:6]   callsign (base-40) [6]     image_id
   [7:9]   packet_id (BE)     [9]     width/16      [10] height/16
-  [11]    flags: b0 EOI, b1-b3 quality, b4 grayscale
+  [11]    flags: b0-1 subsampling (0=2x2, 1=1x2, 2=2x1, 3=1x1),
+                 b2 EOI, b3-5 quality level
   [12]    mcu_offset: payload byte where the first fresh MCU starts
           (0xFF = continuation-only packet)
   [13:15] mcu_id (BE) of that fresh MCU (0xFFFF = none)
-  [15]    sampling: high nibble = comp0 h, low nibble = v (0x00 grayscale)
-  [16:252] payload (236 B of entropy bits)
-  [252:256] CRC32 over bytes [1:252] (BE)
+  [15:252]   payload, 237 B  (no-FEC)     [252:256] CRC32 [1:252] (BE)
+  [15:220]   payload, 205 B  (FEC)        [220:224] CRC32 [1:220] (BE)
+                                          [224:256] RS(255,223) parity
 
-A fresh MCU starts byte-aligned with DC predictors reset, so any packet can
-be entered mid-image; lost packets cost only the MCUs they carried.
+Grayscale input is encoded as 1x1-subsampled color with all-zero chroma
+blocks (the wire format has no grayscale mode).
+
+Interop status: header layout, CRC and packetisation conventions follow
+the published UKHAS format above; the quality-level -> quantisation-table
+ladder (QUALITY_LADDER) is the libjpeg scaling convention and is the one
+piece not verifiable in this sandbox (no fsphil/ssdv binary or golden
+corpus available; zero egress).  If tests/golden/ssdv/ contains captures
+from the real binary, tests/test_ssdv.py locks decode against them.
 """
 from __future__ import annotations
 
@@ -37,10 +48,16 @@ from ..core.packets import ssdv_decode_callsign, ssdv_encode_callsign
 from . import jpeg as J
 
 SYNC = 0x55
+TYPE_FEC = 0x66
 TYPE_NOFEC = 0x67
-HEADER_LEN = 16
-PAYLOAD_LEN = 236
+HEADER_LEN = 15
+PAYLOAD_LEN = 237          # no-FEC
+PAYLOAD_LEN_FEC = 205
 PACKET_LEN = 256
+
+# subsampling mode (flags b0-1) <-> component-0 (h, v) sampling factors
+MCU_MODES = {0: (2, 2), 1: (1, 2), 2: (2, 1), 3: (1, 1)}
+MCU_MODE_OF = {v: k for k, v in MCU_MODES.items()}
 
 # Annex K base quantisation tables (zigzag order)
 _BASE_LUM = np.array([
@@ -56,7 +73,7 @@ _BASE_CHR = np.array([
     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
     np.int32)
 
-# quality index 0..7 -> libjpeg-style quality factor
+# quality level 0..7 -> libjpeg-style quality factor (see interop note)
 QUALITY_LADDER = [20, 30, 40, 50, 60, 70, 77, 85]
 
 
@@ -89,20 +106,51 @@ def _requantize(img: J.JpegImage, quality_idx: int) -> J.JpegImage:
     return out
 
 
+def _expand_grayscale(img: J.JpegImage, quality: int) -> J.JpegImage:
+    """Grayscale -> 1x1 color with zero chroma (wire format has no gray)."""
+    n = img.mcus.shape[0]
+    mcus = np.zeros((n, 3, 64), np.int32)
+    mcus[:, 0, :] = img.mcus[:, 0, :]
+    comps = [J.Component(1, 1, 1, 0), J.Component(2, 1, 1, 1),
+             J.Component(3, 1, 1, 1)]
+    return J.JpegImage(img.width, img.height, comps,
+                       {0: img.qtables[0], 1: quant_tables(quality)[1]},
+                       mcus, img.restart_interval)
+
+
+def _decode_components(mcu_mode: int):
+    h, v = MCU_MODES[mcu_mode]
+    return [J.Component(1, h, v, 0), J.Component(2, 1, 1, 1),
+            J.Component(3, 1, 1, 1)]
+
+
 # ----------------------------------------------------------------- encode
 
 
 def encode(jpeg_bytes: bytes, callsign: str = "N0CALL", image_id: int = 0,
-           quality: int = 6) -> list:
-    """JPEG -> list of 256-byte SSDV packets."""
+           quality: int = 6, fec: bool = False) -> list:
+    """JPEG -> list of 256-byte SSDV packets.
+
+    fec=False (default, `ssdv -e -n`): type 0x67, 237 B payload.
+    fec=True: type 0x66, 205 B payload + RS(255,223) parity over bytes
+    [1:224] (the standard SSDV configuration for unprotected links).
+    """
     img = _requantize(J.parse_jpeg(jpeg_bytes), quality)
-    n_mcus = img.mcus.shape[0]
-    ncomp = len(img.components)
+    if len(img.components) == 1:
+        img = _expand_grayscale(img, quality)
+    if img.width % 16 or img.height % 16:
+        raise ValueError("SSDV requires dimensions that are multiples of 16 "
+                         f"(got {img.width}x{img.height})")
     c0 = img.components[0]
-    sampling = 0x00 if ncomp == 1 else ((c0.h << 4) | c0.v)
+    if (c0.h, c0.v) not in MCU_MODE_OF:
+        raise ValueError(f"unsupported subsampling {c0.h}x{c0.v}")
+    mcu_mode = MCU_MODE_OF[(c0.h, c0.v)]
+    n_mcus = img.mcus.shape[0]
     call = ssdv_encode_callsign(callsign)
-    wb, hb = -(-img.width // 16), -(-img.height // 16)
-    flags_base = ((quality & 7) << 1) | (0x10 if ncomp == 1 else 0)
+    wb, hb = img.width // 16, img.height // 16
+    flags_base = mcu_mode | ((quality & 7) << 3)
+    plen = PAYLOAD_LEN_FEC if fec else PAYLOAD_LEN
+    ptype = TYPE_FEC if fec else TYPE_NOFEC
 
     packets = []
     pend = b""          # pending continuation bits (byte-padded at source)
@@ -111,22 +159,25 @@ def encode(jpeg_bytes: bytes, callsign: str = "N0CALL", image_id: int = 0,
 
     def emit(payload: bytes, off, mcu_id, eoi):
         pid = len(packets)
-        flags = flags_base | (1 if eoi else 0)
-        hdr = bytes([SYNC, TYPE_NOFEC]) + call + bytes([image_id & 0xFF]) + \
+        flags = flags_base | (0x04 if eoi else 0)
+        hdr = bytes([SYNC, ptype]) + call + bytes([image_id & 0xFF]) + \
             struct.pack(">H", pid) + bytes([wb & 0xFF, hb & 0xFF, flags,
                                             off & 0xFF]) + \
-            struct.pack(">H", mcu_id) + bytes([sampling])
+            struct.pack(">H", mcu_id)
         # 0xFF padding decodes as an invalid Huffman code, so a decoder
         # walking off the real payload stops cleanly
-        body = hdr + payload.ljust(PAYLOAD_LEN, b"\xff")
-        crc = struct.pack(">I", zlib.crc32(body[1:HEADER_LEN + PAYLOAD_LEN]))
-        packets.append(body + crc)
+        body = hdr + payload.ljust(plen, b"\xff")
+        body += struct.pack(">I", zlib.crc32(body[1:HEADER_LEN + plen]))
+        if fec:
+            from . import rs
+            body += rs.encode(body[1:1 + rs.KK])
+        packets.append(body)
 
     while m < n_mcus or pend_bits:
         payload = bytearray()
         # 1. continuation bits from a split MCU
         if pend_bits:
-            take_bytes = min(len(pend), PAYLOAD_LEN)
+            take_bytes = min(len(pend), plen)
             payload += pend[:take_bytes]
             if take_bytes * 8 < pend_bits:      # still not finished
                 pend = pend[take_bytes:]
@@ -138,8 +189,8 @@ def encode(jpeg_bytes: bytes, callsign: str = "N0CALL", image_id: int = 0,
         if m >= n_mcus:
             emit(bytes(payload), 0xFF, 0xFFFF, True)
             break
-        # 2. fresh run: byte-aligned, predictors reset
-        space_bits = (PAYLOAD_LEN - off) * 8
+        # 2. fresh run: byte-aligned, predictors reset (DC coded absolute)
+        space_bits = (plen - off) * 8
         preds = [0] * len(img.components)
         run = bytearray()
         run_bits = 0
@@ -152,7 +203,7 @@ def encode(jpeg_bytes: bytes, callsign: str = "N0CALL", image_id: int = 0,
             payload += run
             emit(bytes(payload), off, first_id, m >= n_mcus)
         else:
-            fit_bytes = PAYLOAD_LEN - off
+            fit_bytes = plen - off
             payload += run[:fit_bytes]
             pend = bytes(run[fit_bytes:])
             pend_bits = run_bits - fit_bytes * 8
@@ -184,19 +235,25 @@ def _encode_mcu_bits_cont(img, m, preds, prev_bytes, prev_bits):
 # ----------------------------------------------------------------- decode
 
 
+def _payload_len(pkt_type: int) -> int:
+    return PAYLOAD_LEN_FEC if pkt_type == TYPE_FEC else PAYLOAD_LEN
+
+
 def packet_info(pkt: bytes) -> dict:
+    plen = _payload_len(pkt[1])
+    crc_rx = struct.unpack(">I", pkt[HEADER_LEN + plen:
+                                     HEADER_LEN + plen + 4])[0]
     return {
+        "type": "FEC" if pkt[1] == TYPE_FEC else "No-FEC",
         "callsign": ssdv_decode_callsign(pkt[2:6]),
         "image_id": pkt[6],
         "packet_id": struct.unpack(">H", pkt[7:9])[0],
         "width": pkt[9] * 16, "height": pkt[10] * 16,
-        "eoi": bool(pkt[11] & 1), "quality": (pkt[11] >> 1) & 7,
-        "grayscale": bool(pkt[11] & 0x10),
+        "mcu_mode": pkt[11] & 0x03,
+        "eoi": bool(pkt[11] & 0x04), "quality": (pkt[11] >> 3) & 7,
         "mcu_offset": pkt[12],
         "mcu_id": struct.unpack(">H", pkt[13:15])[0],
-        "sampling": pkt[15],
-        "crc_ok": struct.unpack(">I", pkt[252:256])[0] ==
-        zlib.crc32(pkt[1:HEADER_LEN + PAYLOAD_LEN]),
+        "crc_ok": crc_rx == zlib.crc32(pkt[1:HEADER_LEN + plen]),
     }
 
 
@@ -210,27 +267,28 @@ def decode(packets: list) -> bytes:
     """SSDV packets (possibly with gaps) -> reconstructed baseline JPEG."""
     pkts = []
     for p in packets:
-        if len(p) != PACKET_LEN or p[0] != SYNC:
+        if len(p) != PACKET_LEN or p[0] != SYNC or \
+                p[1] not in (TYPE_FEC, TYPE_NOFEC):
             continue
         info = packet_info(p)
+        if not info["crc_ok"] and p[1] == TYPE_FEC:
+            # FEC packets: attempt RS(255,223) correction (<=16 byte errors)
+            from . import rs
+            fixed, nerr = rs.correct(p[1:])
+            if nerr >= 0:
+                p = p[:1] + fixed
+                info = packet_info(p)
         if info["crc_ok"]:
-            pkts.append((info, p[HEADER_LEN:HEADER_LEN + PAYLOAD_LEN]))
+            pkts.append((info, p[HEADER_LEN:HEADER_LEN + _payload_len(p[1])]))
     if not pkts:
         raise ValueError("no valid SSDV packets")
     pkts.sort(key=lambda x: x[0]["packet_id"])
     info0 = pkts[0][0]
     width, height = info0["width"], info0["height"]
     quality = info0["quality"]
-    sampling = pkts[0][1] and info0["sampling"]
     lum, chr_ = quant_tables(quality)
-    if info0["grayscale"] or sampling == 0:
-        comps = [J.Component(1, 1, 1, 0)]
-        qtables = {0: lum}
-    else:
-        h, v = sampling >> 4, sampling & 0xF
-        comps = [J.Component(1, h, v, 0), J.Component(2, 1, 1, 1),
-                 J.Component(3, 1, 1, 1)]
-        qtables = {0: lum, 1: chr_}
+    comps = _decode_components(info0["mcu_mode"])
+    qtables = {0: lum, 1: chr_}
     img = J.JpegImage(width, height, comps, qtables,
                       np.zeros((0, 0, 64), np.int32))
     n_mcus = img.mcus_x * img.mcus_y
