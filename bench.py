@@ -310,6 +310,12 @@ def stage_stream():
     d = jax.device_put(raw)
     d.block_until_ready()
     RESULTS["h2d_mbps"] = round(len(raw) / (time.perf_counter() - t0) / 1e6, 0)
+    # hard ceiling the tunnel imposes on ANY real-ingest path: the cu8
+    # bytes must cross host->device once (2 B/sample); on degraded days
+    # this, not the program, binds (measured 37 MB/s on 2026-08-20 vs
+    # 1438 MB/s the same morning)
+    RESULTS["stream_h2d_ceiling_x"] = round(
+        RESULTS["h2d_mbps"] * 1e6 / 2 / cfg.Fs, 1)
     del d
     _checkpoint()
 
@@ -341,7 +347,7 @@ def stage_stream():
 
     # ---- live streaming path: Receiver.push of raw cu8 chunks (device-side
     # conversion), pipelined (PP) vs serial, on a 12 s prefix
-    push_secs = min(secs, 12.0)
+    push_secs = min(secs, 8.0)
     sub = raw[: 2 * int(push_secs * cfg.Fs)]
     push_samples = len(sub) // 2
     push_expected = max(int(push_secs * cfg.Rs) // pkt_cycle - 1, 1)

@@ -33,12 +33,21 @@ def make_hybrid_mesh(tp: int = 1, axes=("batch", "model")) -> Mesh:
     n = len(jax.devices())
     if n % tp:
         raise ValueError(f"tp={tp} does not divide {n} devices")
-    if jax.process_count() > 1:  # pragma: no cover - needs multi-host
+    if jax.process_count() > 1:
         from jax.experimental import mesh_utils
         per_host = n // jax.process_count()
-        devs = mesh_utils.create_hybrid_device_mesh(
-            (per_host // tp, tp), (jax.process_count(), 1))
-        return Mesh(devs.reshape(n // tp, tp), axes)
+        if per_host % tp == 0:
+            try:
+                devs = mesh_utils.create_hybrid_device_mesh(
+                    (per_host // tp, tp), (jax.process_count(), 1))
+                return Mesh(devs.reshape(n // tp, tp), axes)
+            except ValueError:
+                # no slice topology metadata (e.g. multi-process CPU, some
+                # single-slice configurations): jax.devices() is ordered by
+                # process, so the plain reshape below still keeps each tp
+                # group within one process's devices — the ICI-local
+                # property the hybrid mesh exists for
+                pass
     return Mesh(np.array(jax.devices()).reshape(n // tp, tp), axes)
 
 
