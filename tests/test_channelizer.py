@@ -72,6 +72,12 @@ def test_two_channels_decode_from_wideband():
                                             channels=[2, 5], vectorized=False)
     assert out_rx == out
 
+    # the fully-fused path (filterbank + demods + deframes + LDPC in ONE
+    # dispatch, only packets fetched) yields identical packets too
+    out_f = channelizer.demod_multichannel(wide, FS_TOTAL, NCH, CFG,
+                                           channels=[2, 5], fused=True)
+    assert out_f == out
+
 
 def test_wideband_cli(tmp_path):
     """`rx --channels N`: the CLI front door for the wideband path (the

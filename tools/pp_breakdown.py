@@ -68,15 +68,15 @@ def run(mode="v2", seconds=8.0, chunk_s=2.0, ebno=12.0, input_format="cu8",
         t1 = time.perf_counter()
         if inflight is None:
             continue
-        final, soft, valid, stats, eye, buf, n_new = inflight
+        final, packed, eye, buf, n_new = inflight
         # device execution wait: block on the outputs before touching them
-        soft.block_until_ready()
+        packed.block_until_ready()
         t2 = time.perf_counter()
         rx._retire_state(final, buf)
         t3 = time.perf_counter()
-        valid_h = np.asarray(valid)
-        soft_h = np.asarray(soft)[valid_h].reshape(-1)
-        np.asarray(stats)
+        packed_h = np.asarray(packed)
+        valid_h = packed_h[:, -2] > 0.5
+        soft_h = packed_h[:, :-2][valid_h].reshape(-1)
         t4 = time.perf_counter()
         d = rx.deframer
         hard = np.concatenate(

@@ -67,7 +67,8 @@ def channel_centres(Fs: int, n_channels: int) -> np.ndarray:
 
 def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
                        cfg, mode: str = "v2", channels=None,
-                       vectorized: bool = True, max_iter: int = 10):
+                       vectorized: bool = True, max_iter: int = 10,
+                       fused: bool = False):
     """Wideband capture -> per-channel packet decode (BASELINE config 4).
 
     iq at Fs_total; each channel lands at Fs_total/n_channels which must
@@ -80,6 +81,11 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
     process per frequency. Host work is only the per-channel deframe of the
     soft bits. vectorized=False keeps one streaming Receiver per channel
     (bit-identical packets; useful for incremental/streaming captures).
+
+    fused=True goes one further and keeps the deframe + BP decode + CRC on
+    device as well (UW top-k acquisition, as decode_iq_fused): the ENTIRE
+    wideband pipeline — filterbank, N demods, N deframes, batched LDPC —
+    is one dispatch, and only the decoded packets cross back to host.
     """
     from ..ops import deframe, fsk
     from ..rx.pipeline import Receiver
@@ -87,7 +93,7 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
     if Fs_total // n_channels != cfg.Fs:
         raise ValueError("channel rate != demod config rate")
     sel = list(range(n_channels)) if channels is None else list(channels)
-    if not vectorized:
+    if not vectorized and not fused:
         ch = compat.get_complex(channelize(compat.put_complex(iq), n_channels))
         out = {}
         for k in sel:
@@ -97,6 +103,34 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
 
     nf = cfg.num_frames(len(iq) // n_channels)
     sel_j = jnp.asarray(np.asarray(sel, np.int32))
+
+    if fused:
+        from ..core import framing
+        syms_pp = (framing.V2_SYMBOLS_PER_PACKET if mode == "v2"
+                   else framing.V1_SYMBOLS_PER_PACKET)
+        kk = int(np.ceil(nf * cfg.Nbits / syms_pp)) + 2
+
+        @partial(jax.jit, static_argnames=("nc",))
+        def whole(x, ks, nc):
+            chans = channelize(x, nc)[ks]
+
+            def one(c):
+                _, outs = fsk.demod_stream(cfg, c, nf)
+                soft = jnp.where(outs.valid[:, None], outs.soft,
+                                 1.0).reshape(-1)
+                pb, ok, _, pos = deframe.deframe_topk(
+                    soft, mode=mode, k=kk, max_iter=max_iter)
+                return pb, ok, pos
+            return jax.vmap(one)(chans)
+
+        pb, ok, pos = jax.tree.map(np.asarray, whole(
+            compat.put_complex(iq), sel_j, n_channels))
+        out = {}
+        for i, k in enumerate(sel):
+            hits = sorted((int(pos[i, j]), pb[i, j, :256].tobytes())
+                          for j in range(kk) if ok[i, j] and pos[i, j] >= 0)
+            out[k] = [payload for _, payload in hits]
+        return out
 
     @partial(jax.jit, static_argnames=("nc",))
     def front_end(x, ks, nc):

@@ -19,6 +19,7 @@ byte-exactly; the batched decode is where the TPU earns its keep.
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 
 import numpy as np
 import jax.numpy as jnp
@@ -163,6 +164,27 @@ def decode_candidates(soft: np.ndarray, positions: np.ndarray, mode: str = "v2",
     return decode_windows(windows, mode, max_iter)
 
 
+@_functools.lru_cache(maxsize=8)
+def _decode_windows_program(max_iter: int):
+    """One-dispatch window decoder: sd_to_llr + BP decode + CRC gate +
+    byte packing in a single program, results packed into ONE uint8 array
+    (B, 258+2) so the host pays one dispatch and one fetch.  On a
+    degraded tunnel every round-trip costs ~25 ms (tools/pp_breakdown.py);
+    the previous llr-to-host hop made the streaming decode path 3 RPCs."""
+    import jax
+
+    @jax.jit
+    def run(sd):
+        llr = ldpc.sd_to_llr(sd)
+        bits, iters, _ = ldpc.decode(llr, max_iter=max_iter)
+        ok = dcrc.packet_crc_ok(bits)
+        pbytes = dcrc.bits_to_bytes(bits[:, : 258 * 8]).astype(jnp.uint8)
+        return jnp.concatenate(
+            [pbytes, ok[:, None].astype(jnp.uint8),
+             jnp.clip(iters, 0, 255)[:, None].astype(jnp.uint8)], axis=1)
+    return run
+
+
 def decode_windows(windows: np.ndarray, mode: str = "v2",
                    max_iter: int = T.MAX_ITER):
     """Decode pre-gathered (B, syms) soft windows in ONE device batch —
@@ -181,19 +203,15 @@ def decode_windows(windows: np.ndarray, mode: str = "v2",
         stripped = framing.rs232_strip_soft(windows)  # (B, 2584)
         sd = stripped[:, : T.CODE_LEN]
 
-    llr = np.asarray(ldpc.sd_to_llr(jnp.asarray(sd, jnp.float32)))
     # bucket the batch so repeated deframes reuse one compiled decoder
     Bp = 1 << max(int(np.ceil(np.log2(B))), 2)
+    sd = np.asarray(sd, np.float32)
     if Bp != B:
-        llr = np.concatenate(
-            [llr, np.tile(llr[-1:], (Bp - B, 1))], axis=0)
-    bits, iters, _ = ldpc.decode_np(llr, max_iter=max_iter)
-    bits, iters = bits[:B], iters[:B]
-
-    pbytes = np.packbits(bits[:, : (256 + 2) * 8], axis=1)   # MSB-first pack
-    rx_crc = framing.crc16_ccitt_batch(pbytes[:, :256])
-    tx_crc = pbytes[:, 256].astype(np.uint16) | (pbytes[:, 257].astype(np.uint16) << 8)
-    return pbytes, rx_crc == tx_crc, np.asarray(iters)
+        sd = np.concatenate([sd, np.tile(sd[-1:], (Bp - B, 1))], axis=0)
+    packed = np.asarray(_decode_windows_program(max_iter)(jnp.asarray(sd)))
+    packed = packed[:B]
+    return (packed[:, :258].copy(), packed[:, 258].astype(bool),
+            packed[:, 259].astype(np.int32))
 
 
 def deframe_topk(soft: jnp.ndarray, mode: str = "v2", k: int = 8,

@@ -333,7 +333,13 @@ def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str):
                        outs.valid.astype(jnp.float32).sum(),
                        last.astype(jnp.float32)]),
             outs.f_est[li].astype(jnp.float32)])
-        out = (final, outs.soft, outs.valid, stats)
+        # pack soft + validity + stats into ONE array: each D2H fetch is a
+        # tunnel round-trip (~25 ms on degraded days, pp_breakdown.py)
+        extra = jnp.zeros((nf, 2), jnp.float32)
+        extra = extra.at[:, 0].set(outs.valid.astype(jnp.float32))
+        extra = extra.at[: stats.shape[0], 1].set(stats)
+        packed = jnp.concatenate([outs.soft, extra], axis=1)
+        out = (final, packed)
         if with_eye:
             out = out + (res[2],)
         return out
@@ -439,27 +445,30 @@ class Receiver:
             data[:n_samples] = buf.view(np.float32).reshape(-1, 2)
         fn = _stream_program(cfg, nf, self.with_eye, self.input_format)
         res = fn(jnp.asarray(data), self.state, n_samples)
-        final, soft, valid, stats = res[:4]
-        eye = res[4] if self.with_eye else None
-        return final, soft, valid, stats, eye, buf, len(chunk) // w
+        final, packed = res[:2]
+        eye = res[2] if self.with_eye else None
+        return final, packed, eye, buf, len(chunk) // w
 
     def _retire_state(self, final, buf: np.ndarray):
-        """Fold the in-flight chunk's scan carry back into host state
-        (blocks only on the small DemodState, not the per-frame outputs)."""
-        import jax
+        """Fold the in-flight chunk's scan carry back into host state.
 
+        Only `pos` crosses to host (one small D2H — on a degraded tunnel
+        every fetch costs ~25 ms, and fetching all nine carry fields
+        separately measured 202 ms/push, tools/pp_breakdown.py); the rest
+        of the DemodState stays device-resident for the next dispatch."""
         cfg = self.cfg
-        final = jax.tree.map(np.asarray, final)
-        end_pos = int(final.pos)
+        end_pos = int(np.asarray(final.pos))
         keep = min(end_pos, cfg.Nmem)
         self._history = buf[(end_pos - keep) * self._width:]
         self.state = final._replace(pos=np.int32(keep))
 
-    def _complete(self, soft, valid, stats, eye, n_new: int) -> list:
-        """Host-side half: transfer soft bits, deframe, decode, CRC."""
-        valid = np.asarray(valid)
-        soft = np.asarray(soft)[valid].reshape(-1)
-        stats = np.asarray(stats)
+    def _complete(self, packed, eye, n_new: int) -> list:
+        """Host-side half: ONE D2H fetch (soft bits + validity + stats
+        packed in a single array), then deframe, decode, CRC."""
+        packed = np.asarray(packed)
+        valid = packed[:, -2] > 0.5
+        stats = packed[: 4 + self.cfg.M, -1]
+        soft = packed[:, :-2][valid].reshape(-1)
         nframes = int(stats[2])
         if nframes and eye is not None:  # last valid frame's integrators
             self.last_eye = (compat.get_complex(eye[0]), int(eye[1]))
@@ -484,19 +493,19 @@ class Receiver:
             inflight = self._dispatch(chunk)
             if inflight is None:
                 return []
-            final, soft, valid, stats, eye, buf, n_new = inflight
+            final, packed, eye, buf, n_new = inflight
             self._retire_state(final, buf)
-            return self._complete(soft, valid, stats, eye, n_new)
+            return self._complete(packed, eye, n_new)
 
         payloads = []
         if self._pending is not None:
-            final, soft, valid, stats, eye, buf, n_prev = self._pending
+            final, packed, eye, buf, n_prev = self._pending
             self._pending = None
             # carry state first (cheap), THEN queue the next chunk's demod,
             # THEN do chunk k's host-side work while the device runs k+1
             self._retire_state(final, buf)
             self._pending = self._dispatch(chunk)
-            payloads = self._complete(soft, valid, stats, eye, n_prev)
+            payloads = self._complete(packed, eye, n_prev)
         else:
             self._pending = self._dispatch(chunk)
         return payloads
@@ -505,7 +514,7 @@ class Receiver:
         """Drain the in-flight chunk (pipelined mode); serial mode no-op."""
         if self._pending is None:
             return []
-        final, soft, valid, stats, eye, buf, n_new = self._pending
+        final, packed, eye, buf, n_new = self._pending
         self._pending = None
         self._retire_state(final, buf)
-        return self._complete(soft, valid, stats, eye, n_new)
+        return self._complete(packed, eye, n_new)
