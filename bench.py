@@ -107,23 +107,54 @@ def _stage(name):
     return wrap
 
 
-def _dispatch_overhead(key: str):
+_D2H_WARM = threading.Event()
+
+
+def _warm_d2h():
+    """Open the device->host fetch channel in a DAEMON thread.
+
+    Measured on the axon tunnel (2026-08-20): the FIRST D2H fetch of a
+    process can stall for minutes (545 s and ~295 s observed) while
+    dispatch/H2D/execution are all healthy — a stage that begins with a
+    blocking fetch dies at its budget having measured nothing.  Warming
+    in the background overlaps that stall with compile work; fetchless
+    measurements (block_until_ready timing loops) proceed regardless."""
+    def work():
+        try:
+            import jax
+            import jax.numpy as jnp
+            tiny = jax.jit(lambda x: x + 1.0)
+            np.asarray(tiny(jnp.ones(8, jnp.float32)))
+            _D2H_WARM.set()
+        except Exception:
+            pass
+    threading.Thread(target=work, daemon=True).start()
+
+
+def _dispatch_overhead(key: str, budget_s: float = 45.0):
     """Round-trip time of a trivial program: the tunnel's per-dispatch floor
-    (measured 0.1 ms on a good day, ~1.5 s on a degraded one).  Reported so
-    a slow day is visible in the record instead of silently deflating the
-    throughput numbers."""
+    (measured 0.1 ms on a good day, ~26 ms degraded).  Runs in a daemon
+    thread with a budget so a D2H stall records itself instead of eating
+    the stage."""
     import jax
     import jax.numpy as jnp
 
-    tiny = jax.jit(lambda x: x * 2.0 + 1.0)
-    z = jnp.ones((8, 128), jnp.float32)
-    np.asarray(tiny(z))                        # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(tiny(z))
-    RESULTS[key] = round((time.perf_counter() - t0) / 5, 4)
+    def work():
+        tiny = jax.jit(lambda x: x * 2.0 + 1.0)
+        z = jnp.ones((8, 128), jnp.float32)
+        np.asarray(tiny(z))                    # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(5):
+            np.asarray(tiny(z))
+        RESULTS[key] = round((time.perf_counter() - t0) / 5, 4)
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(budget_s)
+    if th.is_alive():
+        RESULTS[key] = f"d2h stalled >{budget_s:.0f}s"
     _checkpoint()
-    return RESULTS[key]
+    return RESULTS.get(key)
 
 
 def make_packet_bits(cfg, n_packets, rng, gap_bits=512):
@@ -153,7 +184,7 @@ def stage_chain(reps=2):
     from wenet_tpu.utils import compat
     from wenet_tpu.utils.rng import prng_key
 
-    overhead = _dispatch_overhead("chain_dispatch_overhead_s")
+    _warm_d2h()                # overlap the first-fetch stall with compile
 
     cfg = fsk.V2_CONFIG                      # Fs=960000, Rs=96000
     n_packets = 12
@@ -219,6 +250,19 @@ def stage_chain(reps=2):
         ok = compiled(sig_j, round_keys(2 + r), ebnos)
     ok.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
+    # the timing loop above is FETCHLESS (block_until_ready only): land
+    # the throughput numbers before risking a D2H stall on the ok fetch
+    samples = R * B * len(sig)
+    msps = samples / dt / 1e6
+    RESULTS["full_chain_msps"] = round(msps, 1)
+    RESULTS["realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)
+    RESULTS["batch_streams"] = B
+    RESULTS["chain_rounds"] = R
+    if "chain_xla_gflops" in RESULTS:
+        RESULTS["chain_xla_tflops_per_s"] = round(
+            RESULTS["chain_xla_gflops"] / dt / 1e3, 3)
+    _checkpoint()
+
     ok = np.asarray(ok)                            # (B,) per-stream counts
     RESULTS["packets_ok"] = int(ok.sum())
     RESULTS["packets_sent"] = R * B * n_packets
@@ -232,17 +276,11 @@ def stage_chain(reps=2):
         "streams span EbN0 8-15 dB across the ~9.5 dB decode cliff by "
         "design; sub-cliff losses are expected (parity band reported "
         "separately)")
-    samples = R * B * len(sig)
-    msps = samples / dt / 1e6
-    RESULTS["full_chain_msps"] = round(msps, 1)
-    RESULTS["full_chain_msps_program"] = round(
-        samples / max(dt - overhead, 1e-9) / 1e6, 1)   # minus tunnel floor
-    RESULTS["realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)
-    RESULTS["batch_streams"] = B
-    RESULTS["chain_rounds"] = R
-    if "chain_xla_gflops" in RESULTS:
-        RESULTS["chain_xla_tflops_per_s"] = round(
-            RESULTS["chain_xla_gflops"] / dt / 1e3, 3)
+    _checkpoint()
+    overhead = _dispatch_overhead("chain_dispatch_overhead_s")
+    if isinstance(overhead, float):
+        RESULTS["full_chain_msps_program"] = round(
+            samples / max(dt - overhead, 1e-9) / 1e6, 1)  # minus tunnel floor
     _checkpoint()
 
 
@@ -264,7 +302,8 @@ def stage_stream():
     secs = float(os.environ.get("WENET_BENCH_STREAM_SECS",
                                 "95" if tpu else "6"))
     ebno_db = 12.0                           # above the ~9.5 dB cliff
-    overhead = _dispatch_overhead("dispatch_overhead_s")
+    _warm_d2h()        # overlap a possible first-fetch stall with the
+    #                    host-side bit/capture construction below
 
     # ---- capture generation (device): exact int64 phase accumulator on
     # host (fsk_mod's int32 two-level wrap caps at ~500k symbols), trig +
@@ -391,6 +430,7 @@ def stage_stream():
         RESULTS["stream_ingest_gate_failed"] = [
             {"path": c[2], "msps": round(c[0] / 1e6, 2)} for c in candidates]
     _checkpoint()
+    _dispatch_overhead("dispatch_overhead_s")
 
 
 @_stage("ldpc")

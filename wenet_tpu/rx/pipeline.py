@@ -228,7 +228,13 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
             soft = jnp.where(keep[:, None], outs.soft, 1.0).reshape(-1)
             pb, ok, _, pos = deframe.deframe_topk(
                 soft, mode=mode, k=k, max_iter=max_iter)
-            return pb, ok, pos
+            # pack bytes + ok + pos(le32) into ONE uint8 array: a single
+            # D2H fetch for the whole result (tunnel fetches can stall)
+            pu = pos.astype(jnp.uint32)
+            pos_b = jnp.stack([(pu >> s).astype(jnp.uint8)
+                               for s in (0, 8, 16, 24)], axis=-1)
+            return jnp.concatenate(
+                [pb, ok[:, None].astype(jnp.uint8), pos_b], axis=-1)
         return jax.vmap(one)(chunks, skips)
     return jax.jit(run)
 
@@ -278,9 +284,13 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
                         input_format)
-    pb, ok, pos = fn(jnp.asarray(data), jnp.asarray(starts),
-                     jnp.asarray(skips))
-    pb, ok, pos = np.asarray(pb), np.asarray(ok), np.asarray(pos)
+    packed = np.asarray(fn(jnp.asarray(data), jnp.asarray(starts),
+                           jnp.asarray(skips)))
+    pb = packed[:, :, :258]
+    ok = packed[:, :, 258].astype(bool)
+    pu = packed[:, :, 259:263].astype(np.uint32)
+    pos = (pu[..., 0] | (pu[..., 1] << 8) | (pu[..., 2] << 16)
+           | (pu[..., 3] << 24)).view(np.int32)
 
     results = []
     for c in range(n_chunks):
