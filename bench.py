@@ -192,7 +192,11 @@ def stage_chain(reps=2):
     bits = make_packet_bits(cfg, n_packets, rng)
     sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
     var = float(np.mean(np.abs(sig) ** 2))
+    RESULTS["chain_capture_built"] = True      # forensics: where a wedged
+    _checkpoint()                              # backend stalled the stage
     sig_j = compat.put_complex(sig)
+    RESULTS["chain_h2d_done"] = True
+    _checkpoint()
     nf = cfg.num_frames(len(sig))
     # B=256 saturates the chip (tools/chain_scaling.py: 3.1 GS/s @ B=8,
     # 212 GS/s @ B>=256); R rounds amortize per-dispatch tunnel latency
@@ -333,9 +337,16 @@ def stage_stream():
         x = jnp.stack([iq.real, iq.imag], axis=-1).reshape(-1)
         return jnp.clip(jnp.round(x * 128.0 + 127.0), 0, 255).astype(jnp.uint8)
 
+    RESULTS["stream_bits_built"] = True         # forensics checkpoint
+    _checkpoint()
     t0 = time.perf_counter()
-    raw = np.asarray(gen(jnp.asarray(start.astype(np.int32)),
-                         jnp.asarray(freqs.astype(np.int32)), prng_key(7)))
+    dev = gen(jnp.asarray(start.astype(np.int32)),
+              jnp.asarray(freqs.astype(np.int32)), prng_key(7))
+    dev.block_until_ready()
+    RESULTS["stream_gen_exec_s"] = round(time.perf_counter() - t0, 1)
+    _checkpoint()
+    raw = np.asarray(dev)                       # the big D2H (182 MB @ 95 s)
+    del dev
     RESULTS["stream_capture_gen_s"] = round(time.perf_counter() - t0, 1)
     n_samples = len(raw) // 2
     RESULTS["stream_capture_s"] = round(n_samples / cfg.Fs, 1)

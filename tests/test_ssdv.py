@@ -268,3 +268,30 @@ def test_ssdv_external_adapter(tmp_path, monkeypatch):
                      emitter=UDPEmitter(enabled=False),
                      ssdv_decoder=external.decode_file)
     assert r.ssdv_decoder is external.decode_file
+
+
+def test_ssdv_golden_corpus_hook():
+    """Drop-in interop lock: if tests/golden/ssdv/ contains <name>.bin
+    packet captures produced by the REAL fsphil/ssdv binary (with an
+    optional <name>.jpg of its own decode), the native decoder must
+    reconstruct them.  Skips when no corpus is available (this sandbox
+    has no ssdv binary and no egress to fetch one)."""
+    import glob
+    corpus = glob.glob(os.path.join(os.path.dirname(__file__),
+                                    "golden", "ssdv", "*.bin"))
+    if not corpus:
+        pytest.skip("no real-ssdv golden corpus available in this sandbox")
+    for bin_path in corpus:
+        with open(bin_path, "rb") as f:
+            data = f.read()
+        pkts = [data[i:i + 256] for i in range(0, len(data), 256)]
+        out = ssdv.decode(pkts)
+        img = Image.open(io.BytesIO(out))        # structurally valid JPEG
+        info = ssdv.packet_info(pkts[0])
+        assert img.size == (info["width"], info["height"])
+        ref_jpg = bin_path[:-4] + ".jpg"
+        if os.path.exists(ref_jpg):
+            a1 = np.asarray(Image.open(ref_jpg).convert("RGB"), np.float32)
+            a2 = np.asarray(img.convert("RGB"), np.float32)
+            assert a1.shape == a2.shape
+            assert np.abs(a1 - a2).mean() < 8.0
