@@ -36,6 +36,8 @@ if [ -z "$FRAMING_MODE" ]; then
     if [ "$BAUD_RATE" -ge 100000 ]; then FRAMING_MODE=v1; else FRAMING_MODE=v2; fi
 fi
 
+RX_FLOW="${RX_FLOW:-IQ}"                # IQ | GQRX | SSB (start_rx.sh:118-150)
+
 GAIN_ARGS=()
 if [ "$GAIN" != "0" ]; then GAIN_ARGS+=(-g "$GAIN"); fi
 if [ "$BIAS" = "1" ]; then GAIN_ARGS+=(-T); fi
@@ -43,12 +45,33 @@ if [ "$BIAS" = "1" ]; then GAIN_ARGS+=(-T); fi
 EXTRA=()
 if [ "$HEADLESS" = "1" ]; then EXTRA+=(--headless); fi
 
-echo "$MYCALL: rtl_sdr dev$DEVICE @ ${RX_SSB_FREQ} Hz, ${SDR_RATE} S/s," \
+echo "$MYCALL: flow $RX_FLOW @ ${RX_SSB_FREQ} Hz, ${SDR_RATE} S/s," \
      "mode $FRAMING_MODE (baud $BAUD_RATE)" >&2
 
-exec rtl_sdr -d "$DEVICE" -s "$SDR_RATE" -f "$RX_SSB_FREQ" \
-        ${GAIN_ARGS[@]+"${GAIN_ARGS[@]}"} - | \
-    python3 -m wenet_tpu rx - --format cu8 --mode "$FRAMING_MODE" \
-        --fs "$SDR_RATE" --rs "$BAUD_RATE" \
-        --image-dir "$IMAGE_DIR" --log-dir "$LOG_DIR" --partialupdate 32 \
-        ${EXTRA[@]+"${EXTRA[@]}"}
+if [ "$RX_FLOW" = "GQRX" ]; then
+    # GQRX mode: 48 kHz real s16 audio over UDP 7355 (start_rx.sh:128-137);
+    # estimator limits match the reference's `fsk_demod -b 1 -u 23500`
+    exec nc -l -u localhost 7355 | \
+        python3 -m wenet_tpu rx - --format s16 --mode "$FRAMING_MODE" \
+            --fs 48000 --rs "$BAUD_RATE" --est-min 1 --est-max 23500 \
+            --image-dir "$IMAGE_DIR" --log-dir "$LOG_DIR" --partialupdate 4 \
+            ${EXTRA[@]+"${EXTRA[@]}"}
+elif [ "$RX_FLOW" = "SSB" ]; then
+    # DC-spike tuners: receive below centre, USB-demodulate via csdr to
+    # real s16 (start_rx.sh:138-149)
+    exec rtl_sdr -d "$DEVICE" -s "$SDR_RATE" -f "$RX_SSB_FREQ" \
+            ${GAIN_ARGS[@]+"${GAIN_ARGS[@]}"} - | \
+        csdr convert_u8_f | csdr bandpass_fir_fft_cc 0.05 0.45 0.05 | \
+        csdr realpart_cf | csdr gain_ff 0.5 | csdr convert_f_s16 | \
+        python3 -m wenet_tpu rx - --format s16 --mode "$FRAMING_MODE" \
+            --fs "$SDR_RATE" --rs "$BAUD_RATE" \
+            --image-dir "$IMAGE_DIR" --log-dir "$LOG_DIR" --partialupdate 32 \
+            ${EXTRA[@]+"${EXTRA[@]}"}
+else
+    exec rtl_sdr -d "$DEVICE" -s "$SDR_RATE" -f "$RX_SSB_FREQ" \
+            ${GAIN_ARGS[@]+"${GAIN_ARGS[@]}"} - | \
+        python3 -m wenet_tpu rx - --format cu8 --mode "$FRAMING_MODE" \
+            --fs "$SDR_RATE" --rs "$BAUD_RATE" \
+            --image-dir "$IMAGE_DIR" --log-dir "$LOG_DIR" --partialupdate 32 \
+            ${EXTRA[@]+"${EXTRA[@]}"}
+fi
