@@ -132,3 +132,17 @@ def test_fused_v1_mode():
                                      input_format="c64")
     assert fused == seq
     assert len(fused) >= 9
+
+
+def test_fused_cs16_ingest():
+    """Fused decode from raw KA9Q-style s16 IQ pairs (device conversion)."""
+    rng = np.random.default_rng(65)
+    payloads, iq = _capture(6, rng, ebno=13.0)
+    iq = iq / (np.abs(iq).max() + 1e-9)
+    raw = np.empty(2 * len(iq), np.int16)
+    raw[0::2] = np.clip(np.round(iq.real * 800), -32768, 32767)
+    raw[1::2] = np.clip(np.round(iq.imag * 800), -32768, 32767)
+    fused = pipeline.decode_iq_fused(raw, "v2", CFG, n_chunks=3,
+                                     input_format="cs16")
+    assert len(fused) >= 5
+    assert set(fused) <= set(payloads)

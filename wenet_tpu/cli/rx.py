@@ -155,12 +155,13 @@ def main(argv=None):
         buf = np.frombuffer(fin.read(), dtype=dtype)
         if fin is not sys.stdin.buffer:
             fin.close()
-        data = buf if args.format == "cu8" else conv(buf)
+        native = args.format in ("cu8", "cs16")   # device-side conversion
+        data = buf if native else conv(buf)
         t0 = time.time()
         payloads = decode_iq_fused(data, mode=args.mode, cfg=cfg,
                                    n_chunks=args.parallel,
                                    input_format=args.format
-                                   if args.format == "cu8" else "c64")
+                                   if native else "c64")
         for payload in payloads:
             router.handle_packet(payload)
         router.flush()

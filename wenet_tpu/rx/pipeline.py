@@ -217,6 +217,8 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
             # materialising full-capture f32/complex intermediates in HBM
             if fmt == "cu8":
                 x = (chunk.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+            elif fmt == "cs16":           # KA9Q pcmcat s16 IQ pairs
+                x = chunk.astype(jnp.float32) * np.float32(1 / fsk.FDMDV_SCALE)
             else:                         # float32 (re, im) pairs
                 x = chunk
             z = jax.lax.complex(x[..., 0], x[..., 1])
@@ -262,6 +264,9 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
     if input_format == "cu8":
         raw = np.asarray(raw, np.uint8)
         n = len(raw) // 2
+    elif input_format == "cs16":
+        raw = np.asarray(raw, np.int16)
+        n = len(raw) // 2
     elif input_format == "c64":
         iq = np.asarray(raw, np.complex64)
         n = len(iq)
@@ -279,6 +284,8 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
 
     if input_format == "cu8":
         data = raw[: 2 * n].reshape(-1, 2)          # zero-copy view
+    elif input_format == "cs16":
+        data = raw[: 2 * n].reshape(-1, 2)          # zero-copy view (int16)
     else:
         data = iq.view(np.float32).reshape(-1, 2)   # zero-copy view
 
