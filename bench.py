@@ -398,6 +398,41 @@ def stage_stream():
     candidates.append((n_samples / dt_fused, fused_gate, "fused"))
     _checkpoint()
 
+    # ---- slab-pipelined fused path: same one-program chain, capture cut
+    # into slabs kept 2-in-flight so H2D of slab s+1 overlaps execution of
+    # slab s — on H2D-bandwidth-degraded days (the recorded 35 MB/s mode,
+    # where moving the bytes IS the wall) this approaches the h2d ceiling
+    # instead of ceiling/2
+    if _remaining() > 75:
+        from wenet_tpu.rx.pipeline import decode_iq_fused_overlap
+        n_slabs = int(os.environ.get("WENET_BENCH_SLABS", "4"))
+        cps = max(n_chunks // n_slabs, 1)
+        t0 = time.perf_counter()
+        pk2 = decode_iq_fused_overlap(raw, mode="v2", n_slabs=n_slabs,
+                                      chunks_per_slab=cps,
+                                      input_format="cu8")
+        RESULTS["stream_overlap_first_call_s"] = round(
+            time.perf_counter() - t0, 1)
+        _checkpoint()
+        dts2 = []
+        for _ in range(2):
+            if dts2 and _remaining() < 1.5 * dts2[0] + 20:
+                break
+            t0 = time.perf_counter()
+            pk2 = decode_iq_fused_overlap(raw, mode="v2", n_slabs=n_slabs,
+                                          chunks_per_slab=cps,
+                                          input_format="cu8")
+            dts2.append(time.perf_counter() - t0)
+        dt_ov = min(dts2)
+        ov_gate = len(pk2) >= n_packets - 2
+        RESULTS["stream_overlap_slabs"] = n_slabs
+        RESULTS["stream_overlap_msps"] = round(n_samples / dt_ov / 1e6, 2)
+        RESULTS["stream_overlap_packets_ok"] = len(pk2)
+        candidates.append((n_samples / dt_ov, ov_gate, "fused_overlap"))
+        _checkpoint()
+    else:
+        RESULTS["stream_overlap_skipped"] = "budget"
+
     # ---- live streaming path: Receiver.push of raw cu8 chunks (device-side
     # conversion), pipelined (PP) vs serial, on a short prefix
     if _remaining() < 90:

@@ -134,6 +134,33 @@ def test_fused_v1_mode():
     assert len(fused) >= 9
 
 
+def test_fused_overlap_equals_fused():
+    """Slab-pipelined fused decode (H2D/exec overlap, depth-2 in flight)
+    recovers the same payload set as the one-dispatch fused path and the
+    sequential FSM, including packets spanning slab seams."""
+    rng = np.random.default_rng(66)
+    payloads, iq = _capture(12, rng)
+    seq = pipeline.Receiver(mode="v2", cfg=CFG).decode_iq(iq)
+    for n_slabs in (2, 3, 5):
+        ov = pipeline.decode_iq_fused_overlap(
+            iq, "v2", CFG, n_slabs=n_slabs, chunks_per_slab=2,
+            input_format="c64")
+        assert ov == seq, f"n_slabs={n_slabs}: {len(ov)} vs {len(seq)}"
+    assert len(seq) >= 11
+
+
+def test_fused_overlap_cu8():
+    """Overlap path from raw rtl_sdr u8 bytes (device-side conversion)."""
+    rng = np.random.default_rng(67)
+    payloads, iq = _capture(8, rng, ebno=13.0)
+    raw = fsk.iq_to_cu8(iq / (np.abs(iq).max() + 1e-9))
+    ov = pipeline.decode_iq_fused_overlap(raw, "v2", CFG, n_slabs=3,
+                                          chunks_per_slab=2,
+                                          input_format="cu8")
+    assert len(ov) >= 7
+    assert set(ov) <= set(payloads)
+
+
 def test_fused_cs16_ingest():
     """Fused decode from raw KA9Q-style s16 IQ pairs (device conversion)."""
     rng = np.random.default_rng(65)

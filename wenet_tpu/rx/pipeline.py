@@ -241,6 +241,55 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
     return jax.jit(run)
 
 
+def _normalize_fused_input(raw, input_format: str):
+    """Raw input -> ((n,2) zero-copy pairs view, n samples, canonical fmt)."""
+    if input_format == "cu8":
+        raw = np.asarray(raw, np.uint8)
+        n = len(raw) // 2
+        return raw[: 2 * n].reshape(-1, 2), n, "cu8"
+    if input_format == "cs16":
+        raw = np.asarray(raw, np.int16)
+        n = len(raw) // 2
+        return raw[: 2 * n].reshape(-1, 2), n, "cs16"
+    if input_format == "c64":
+        iq = np.asarray(raw, np.complex64)
+    else:
+        conv, dtype, _ = INPUT_CONVERTERS[input_format]
+        iq = conv(np.asarray(raw, dtype))
+    return iq.view(np.float32).reshape(-1, 2), len(iq), "c64"
+
+
+def _unpack_fused(packed: np.ndarray, starts, cfg, base_bit: int = 0):
+    """Host-side decode of the fused program's packed result array into
+    (global bit position, payload bytes) tuples."""
+    pb = packed[:, :, :258]
+    ok = packed[:, :, 258].astype(bool)
+    pu = packed[:, :, 259:263].astype(np.uint32)
+    pos = (pu[..., 0] | (pu[..., 1] << 8) | (pu[..., 2] << 16)
+           | (pu[..., 3] << 24)).view(np.int32)
+    results = []
+    for c in range(packed.shape[0]):
+        cb = base_bit + int(starts[c]) // cfg.Ts
+        for i in range(packed.shape[1]):
+            if ok[c, i] and pos[c, i] >= 0:
+                results.append((cb + int(pos[c, i]), pb[c, i, :256].tobytes()))
+    return results
+
+
+def _dedup_payloads(results, syms_pp: int):
+    """Drop duplicates: same content within one packet-length of global bit
+    position (chunk/slab halos decode boundary packets more than once)."""
+    results.sort(key=lambda x: x[0])
+    payloads, last_pos = [], {}
+    for p, payload in results:
+        if payload in last_pos and p - last_pos[payload] < syms_pp:
+            last_pos[payload] = p
+            continue
+        last_pos[payload] = p
+        payloads.append(payload)
+    return payloads
+
+
 def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
                     cfg: fsk.FSKConfig | None = None, n_chunks: int = 16,
                     warmup_frames: int = 8, max_iter: int = 10,
@@ -261,62 +310,95 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
     cfg = MODE_CONFIGS[mode] if cfg is None else cfg
     import jax.numpy as jnp
 
-    if input_format == "cu8":
-        raw = np.asarray(raw, np.uint8)
-        n = len(raw) // 2
-    elif input_format == "cs16":
-        raw = np.asarray(raw, np.int16)
-        n = len(raw) // 2
-    elif input_format == "c64":
-        iq = np.asarray(raw, np.complex64)
-        n = len(iq)
-    else:
-        conv, dtype, width = INPUT_CONVERTERS[input_format]
-        iq = conv(np.asarray(raw, dtype))
-        input_format = "c64"
-        n = len(iq)
-
+    data, n, input_format = _normalize_fused_input(raw, input_format)
     syms_pp, chunk_len, starts, skips = _fused_geometry(
         cfg, mode, n, n_chunks, warmup_frames)
     nf = cfg.num_frames(chunk_len)
     if k_per_chunk is None:
         k_per_chunk = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
 
-    if input_format == "cu8":
-        data = raw[: 2 * n].reshape(-1, 2)          # zero-copy view
-    elif input_format == "cs16":
-        data = raw[: 2 * n].reshape(-1, 2)          # zero-copy view (int16)
-    else:
-        data = iq.view(np.float32).reshape(-1, 2)   # zero-copy view
-
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
                         input_format)
     packed = np.asarray(fn(jnp.asarray(data), jnp.asarray(starts),
                            jnp.asarray(skips)))
-    pb = packed[:, :, :258]
-    ok = packed[:, :, 258].astype(bool)
-    pu = packed[:, :, 259:263].astype(np.uint32)
-    pos = (pu[..., 0] | (pu[..., 1] << 8) | (pu[..., 2] << 16)
-           | (pu[..., 3] << 24)).view(np.int32)
+    return _dedup_payloads(_unpack_fused(packed, starts, cfg), syms_pp)
 
-    results = []
-    for c in range(n_chunks):
-        base_bit = int(starts[c]) // cfg.Ts
-        for i in range(k_per_chunk):
-            if ok[c, i] and pos[c, i] >= 0:
-                results.append((base_bit + int(pos[c, i]),
-                                pb[c, i, :256].tobytes()))
 
-    # dedup: same content within one packet-length of global bit position
-    results.sort(key=lambda x: x[0])
-    payloads, last_pos = [], {}
-    for p, payload in results:
-        if payload in last_pos and p - last_pos[payload] < syms_pp:
-            last_pos[payload] = p
-            continue
-        last_pos[payload] = p
-        payloads.append(payload)
-    return payloads
+def decode_iq_fused_overlap(raw: np.ndarray, mode: str = "v2",
+                            cfg: fsk.FSKConfig | None = None,
+                            n_slabs: int = 4, chunks_per_slab: int = 4,
+                            warmup_frames: int = 8, max_iter: int = 10,
+                            input_format: str = "cu8",
+                            k_per_chunk: int | None = None, depth: int = 2):
+    """Slab-pipelined fused decode: H2D transfer overlapped with execution.
+
+    Same one-program chain as `decode_iq_fused`, but the capture is cut
+    into `n_slabs` overlapping slabs whose H2D transfer, device execution
+    and (small) D2H fetch are kept `depth` in flight via JAX's async
+    dispatch: slab s executes while slab s+1's bytes cross the wire, so
+    wall-clock approaches max(total H2D, total exec) instead of their sum.
+    On a bandwidth-degraded tunnel (BENCHMARKS.md round 3: 35 MB/s days,
+    where moving the bytes IS the wall) this roughly doubles real-ingest
+    throughput; on a healthy day it matches the one-dispatch path.
+
+    Slabs overlap by one halo (estimator warmup + one packet length) so a
+    packet spanning a slab seam decodes wholly inside the next slab;
+    duplicates dedup by (content, global bit position) exactly like the
+    chunk halos.  Output contract == `decode_iq_fused`.
+    """
+    cfg = MODE_CONFIGS[mode] if cfg is None else cfg
+    import jax.numpy as jnp
+
+    data, n, input_format = _normalize_fused_input(raw, input_format)
+    pad_val = 127 if input_format == "cu8" else 0
+
+    # slab geometry: same halo/flush rule as the chunk level
+    syms_pp = (framing.V2_SYMBOLS_PER_PACKET if mode == "v2"
+               else framing.V1_SYMBOLS_PER_PACKET)
+    packet_frames = syms_pp // cfg.Nsym + 2
+    halo = (warmup_frames + packet_frames) * cfg.N
+    flush = 8 * cfg.N
+    score = -(-n // n_slabs)                       # samples per slab core
+    slab_nsamp = score + halo + flush
+    slab_begins = np.maximum(
+        np.arange(n_slabs) * score - halo, 0).astype(np.int64)
+
+    # chunk geometry WITHIN a slab (identical for every slab -> one program)
+    _, chunk_len, starts, skips = _fused_geometry(
+        cfg, mode, slab_nsamp, chunks_per_slab, warmup_frames)
+    nf = cfg.num_frames(chunk_len)
+    if k_per_chunk is None:
+        k_per_chunk = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
+    # a slab that starts mid-capture has un-converged estimators for its
+    # whole first chunk's warmup too (start==0 within the slab): blank it
+    skips_mid = np.where(starts > 0, skips, warmup_frames).astype(np.int32)
+
+    fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
+                        input_format)
+    starts_j = jnp.asarray(starts)
+    skips_j = {False: jnp.asarray(skips), True: jnp.asarray(skips_mid)}
+
+    results, inflight = [], []   # inflight: (begin, starts, device future)
+
+    def drain(entry):
+        begin, st, fut = entry
+        results.extend(_unpack_fused(np.asarray(fut), st, cfg,
+                                     base_bit=int(begin) // cfg.Ts))
+
+    for s in range(n_slabs):
+        begin = int(slab_begins[s])
+        slab = data[begin: begin + slab_nsamp]
+        if len(slab) < slab_nsamp:                 # pad only the tail slab
+            padded = np.full((slab_nsamp, 2), pad_val, data.dtype)
+            padded[: len(slab)] = slab
+            slab = padded
+        fut = fn(jnp.asarray(slab), starts_j, skips_j[begin > 0])
+        inflight.append((begin, starts, fut))
+        if len(inflight) > depth:
+            drain(inflight.pop(0))
+    while inflight:
+        drain(inflight.pop(0))
+    return _dedup_payloads(results, syms_pp)
 
 
 @_functools.lru_cache(maxsize=32)
