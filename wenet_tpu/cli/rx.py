@@ -78,6 +78,12 @@ def add_args(ap: argparse.ArgumentParser):
                          "chunk demods in one device dispatch (whole-file "
                          "throughput mode; exact streaming uses chunked "
                          "push)")
+    ap.add_argument("--slabs", type=int, default=0, metavar="S",
+                    help="with --parallel: cut the capture into S "
+                         "overlapping slabs kept 2-in-flight so the "
+                         "host->device transfer of slab s+1 overlaps the "
+                         "execution of slab s (throughput mode for "
+                         "bandwidth-limited links)")
     ap.add_argument("--channels", type=int, default=0, metavar="N",
                     help="wideband mode: polyphase-channelize the capture "
                          "into N channels of --fs each and demod them all in "
@@ -150,18 +156,24 @@ def main(argv=None):
         # deframe + LDPC + CRC all in ONE device dispatch (cu8 bytes convert
         # on device); the throughput path for whole-file processing —
         # per-dispatch tunnel latency is paid exactly once per capture
-        from ..rx.pipeline import decode_iq_fused
+        from ..rx.pipeline import decode_iq_fused, decode_iq_fused_overlap
         fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
         buf = np.frombuffer(fin.read(), dtype=dtype)
         if fin is not sys.stdin.buffer:
             fin.close()
         native = args.format in ("cu8", "cs16")   # device-side conversion
         data = buf if native else conv(buf)
+        fmt = args.format if native else "c64"
         t0 = time.time()
-        payloads = decode_iq_fused(data, mode=args.mode, cfg=cfg,
-                                   n_chunks=args.parallel,
-                                   input_format=args.format
-                                   if native else "c64")
+        if args.slabs > 1:
+            payloads = decode_iq_fused_overlap(
+                data, mode=args.mode, cfg=cfg, n_slabs=args.slabs,
+                chunks_per_slab=max(args.parallel // args.slabs, 1),
+                input_format=fmt)
+        else:
+            payloads = decode_iq_fused(data, mode=args.mode, cfg=cfg,
+                                       n_chunks=args.parallel,
+                                       input_format=fmt)
         for payload in payloads:
             router.handle_packet(payload)
         router.flush()
