@@ -1,11 +1,11 @@
-"""Dispatcher: python -m wenet_tpu {rx,tx,flight,ber,bench,web,console,gui,
-telemetrygui}."""
+"""Dispatcher: python -m wenet_tpu {rx,tx,flight,ber,bench,ssdv,web,console,
+gui,telemetrygui}."""
 import sys
 
 
 def main():
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
-        print("usage: python -m wenet_tpu {rx,tx,flight,ber,bench,web,"
+        print("usage: python -m wenet_tpu {rx,tx,flight,ber,bench,ssdv,web,"
               "console,gui,telemetrygui} [args]\n"
               "  rx           decode IQ -> packets/images/telemetry\n"
               "  tx           transmit images/text to IQ/bit/UDP sinks\n"
@@ -13,6 +13,8 @@ def main():
               "               (tx_picamera2_gps equivalent)\n"
               "  ber          testframe BER mode (fsk_demod -f equivalent)\n"
               "  bench        PER/throughput regression sweep\n"
+              "  ssdv         standalone SSDV transcoder (fsphil/ssdv "
+              "argv contract)\n"
               "  web          live web GUI (wenetserver equivalent)\n"
               "  console      print telemetry from the UDP broadcast bus\n"
               "  gui          image viewer (rx_gui equivalent; Qt if present)\n"
@@ -33,6 +35,9 @@ def main():
         return m(argv)
     if cmd == "bench":
         from .cli.bench_demod import main as m
+        return m(argv)
+    if cmd == "ssdv":
+        from .cli.ssdv_cli import main as m
         return m(argv)
     if cmd == "web":
         import time
