@@ -428,6 +428,7 @@ def stage_stream():
         RESULTS["stream_overlap_slabs"] = n_slabs
         RESULTS["stream_overlap_msps"] = round(n_samples / dt_ov / 1e6, 2)
         RESULTS["stream_overlap_packets_ok"] = len(pk2)
+        RESULTS["stream_overlap_gate"] = bool(ov_gate)
         candidates.append((n_samples / dt_ov, ov_gate, "fused_overlap"))
         _checkpoint()
     else:

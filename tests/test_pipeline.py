@@ -151,3 +151,29 @@ def test_cu8_receiver_matches_c64():
         got_pp += pp.push(raw[i:i + step])
     got_pp += pp.flush()
     assert got_pp == ref
+
+
+def test_cs16_receiver_matches_c64():
+    """cs16 receivers (device-side s16/FDMDV_SCALE conversion — the KA9Q
+    pcmcat live flow) decode the same payloads as c64 receivers fed the
+    host-converted samples, chunked == one-shot."""
+    rng = np.random.default_rng(78)
+    sig, payloads = make_capture(6, rng)
+    iq = channel.add_awgn(sig, 13.0, CFG.Fs, CFG.Rs, rng=rng)
+    iq = iq / (np.abs(iq).max() + 1e-9)
+    raw = np.empty(2 * len(iq), np.int16)
+    raw[0::2] = np.clip(np.round(iq.real * 820), -32768, 32767)
+    raw[1::2] = np.clip(np.round(iq.imag * 820), -32768, 32767)
+
+    ref = Receiver(mode="v2", cfg=CFG).decode_iq(fsk.iq_from_cs16(raw))
+    one = Receiver(mode="v2", cfg=CFG, input_format="cs16").decode_iq(raw)
+    assert one == ref
+
+    chunked = Receiver(mode="v2", cfg=CFG, input_format="cs16")
+    got = []
+    step = 2 * (len(raw) // 2 // 5)
+    for i in range(0, len(raw), step):
+        got += chunked.push(raw[i:i + step])
+    got += chunked.flush()
+    assert got == ref
+    assert len(ref) >= 5

@@ -216,12 +216,12 @@ def main(argv=None):
                   f"{scores.max():.0f}/{nuw}); leaving tuning unchanged",
                   file=sys.stderr)
 
-    # cu8 ingest with no mixing: push the raw rtl_sdr bytes and convert on
-    # device (halves H2D traffic, drops the host conversion from the loop)
-    raw_push = args.format == "cu8" and mix_frac == 0.0
+    # cu8/cs16 ingest with no mixing: push the raw rtl_sdr / pcmcat bytes
+    # and convert on device (less H2D traffic, no host conversion in loop)
+    raw_push = args.format in ("cu8", "cs16") and mix_frac == 0.0
     if raw_push:
         rx = Receiver(mode=args.mode, cfg=cfg, estimator_limits=limits,
-                      pipelined=args.pipelined, input_format="cu8")
+                      pipelined=args.pipelined, input_format=args.format)
 
     last_stats = 0.0
     t0 = time.time()

@@ -418,6 +418,8 @@ def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str):
     def run(data, state, n_valid):
         if fmt == "cu8":
             x = (data.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+        elif fmt == "cs16":        # KA9Q pcmcat s16 IQ pairs
+            x = data.astype(jnp.float32) * np.float32(1.0 / fsk.FDMDV_SCALE)
         else:                      # float32 (re, im) pairs
             x = data
         iq = jax.lax.complex(x[:, 0], x[:, 1])
@@ -452,9 +454,10 @@ class Receiver:
       mode: 'v1' or 'v2' (selects modem geometry and deframer variant)
       cfg:  optional FSKConfig override (e.g. scaled rates for tests)
       estimator_limits: optional (min_hz, max_hz) like fsk_demod -b/-u
-      input_format: 'c64' (push complex64 samples) or 'cu8' (push raw
+      input_format: 'c64' (push complex64 samples), 'cu8' (push raw
         rtl_sdr u8 IQ bytes; conversion happens on device, halving H2D
-        traffic and removing the host conversion from the hot loop)
+        traffic and removing the host conversion from the hot loop), or
+        'cs16' (raw KA9Q pcmcat s16 IQ pairs, device-side conversion)
       pipelined: overlap the device demod of chunk k+1 with the host-side
         deframe of chunk k (the PP the reference gets from its Unix-pipe
         process stages, SURVEY.md §2.3): each push first retires the carry
@@ -473,8 +476,8 @@ class Receiver:
         self.with_eye = with_eye     # False: skip the eye-probe scan carry
         #   (pure-decode callers compile a cheaper program; stats consumers
         #   need the default True for live eye_diagram records)
-        if input_format not in ("c64", "cu8"):
-            raise ValueError("input_format must be 'c64' or 'cu8'")
+        if input_format not in ("c64", "cu8", "cs16"):
+            raise ValueError("input_format must be 'c64', 'cu8' or 'cs16'")
         self.input_format = input_format
         base = MODE_CONFIGS[mode] if cfg is None else cfg
         if estimator_limits is not None:
@@ -483,9 +486,11 @@ class Receiver:
         self.cfg = base
         self.deframer = deframe.StreamDeframer(mode, max_iter=max_iter)
         self.state = None            # DemodState, created lazily
-        self._width = 2 if input_format == "cu8" else 1   # u8 units/sample
+        # raw-int units per sample (u8 or s16 pairs) vs one complex64
+        self._width = 2 if input_format in ("cu8", "cs16") else 1
         self._history = np.zeros(
-            0, np.uint8 if input_format == "cu8" else np.complex64)
+            0, {"cu8": np.uint8, "cs16": np.int16,
+                "c64": np.complex64}[input_format])
         self.stats = RxStats()
         self.pipelined = pipelined
         self._pending = None    # (final_dev, soft_dev, valid_dev, stats_dev,
@@ -505,7 +510,7 @@ class Receiver:
     def decode_file(self, path: str, fmt: str = "cu8") -> list:
         conv, dtype, _ = INPUT_CONVERTERS[fmt]
         raw = np.fromfile(path, dtype=dtype)
-        if fmt == "cu8" and self.input_format == "cu8":
+        if fmt == self.input_format and fmt in ("cu8", "cs16"):
             return self.decode_iq(raw)          # device-side conversion
         return self.decode_iq(conv(raw))
 
@@ -520,6 +525,9 @@ class Receiver:
         w = self._width
         if self.input_format == "cu8":
             chunk = np.asarray(chunk, np.uint8)
+            chunk = chunk[: 2 * (len(chunk) // 2)]
+        elif self.input_format == "cs16":
+            chunk = np.asarray(chunk, np.int16)
             chunk = chunk[: 2 * (len(chunk) // 2)]
         else:
             chunk = np.asarray(chunk, np.complex64)
@@ -538,6 +546,9 @@ class Receiver:
         blen = -(-n_samples // (32 * cfg.N)) * (32 * cfg.N)
         if self.input_format == "cu8":
             data = np.full((blen, 2), 127, np.uint8)   # 127 == 0.0 centered
+            data[:n_samples] = buf.reshape(-1, 2)
+        elif self.input_format == "cs16":
+            data = np.zeros((blen, 2), np.int16)
             data[:n_samples] = buf.reshape(-1, 2)
         else:
             data = np.zeros((blen, 2), np.float32)
