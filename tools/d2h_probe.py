@@ -4,6 +4,10 @@ The tunnel_probe measured 15 s to fetch a tiny uint8 array — if real,
 result-fetch shape/dtype choices dominate the ingest path's wall clock.
 """
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -6,6 +6,10 @@ latency vs per-scan-iteration overhead vs raw FLOP-rate collapse —
 each implies a different bench/program shaping fix.
 """
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -5,6 +5,10 @@ tunnel can be slow); informs bench shaping — the one-dispatch ingest path
 is dispatch-latency-bound unless H2D of the raw cu8 bytes dominates.
 """
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
