@@ -328,26 +328,46 @@ def stage_stream():
     _warm_d2h()        # overlap a possible first-fetch stall with the
     #                    host-side bit/capture construction below
 
-    # ---- capture generation (HOST, numpy): deterministic ~45 s for the
-    # default 95 s capture.  A device-side generator is ~1 s on a healthy
-    # backend but was measured eating 190-320 s of the stage budget in
-    # compile/warmup on degraded days (bench_runs/ 2026-08-20) — and the
-    # ingest contract starts from host bytes anyway.
+    # ---- capture generation (HOST, numpy): deterministic (~45-100 s for
+    # the default 95 s capture on this box), so it is CACHED on disk —
+    # every bench invocation (including the driver's end-of-round run)
+    # regenerates the identical bytes otherwise.  A device-side generator
+    # is ~1 s on a healthy backend but was measured eating 190-320 s of
+    # the stage budget in compile/warmup on degraded days (bench_runs/
+    # 2026-08-20) — and the ingest contract starts from host bytes anyway.
     rng = np.random.default_rng(3)
     n_bits = int(secs * cfg.Rs)
     pkt_cycle = 343 * 8 + 512                # v2 frame bits + gap
     n_packets = max(n_bits // pkt_cycle - 1, 1)
-    bits = make_packet_bits(cfg, n_packets, rng)
-    RESULTS["stream_bits_built"] = True         # forensics checkpoint
-    _checkpoint()
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cap_path = os.path.join(
+        cache_dir, f"stream_cap_{int(secs)}s_{cfg.Fs}_{cfg.Rs}_seed3.npy")
     t0 = time.perf_counter()
-    from wenet_tpu.ops import channel
-    sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
-    iq = channel.add_awgn(sig.astype(np.complex64), ebno_db, cfg.Fs, cfg.Rs,
-                          rng=rng)
-    del sig
-    raw = fsk.iq_to_cu8(iq / np.abs(iq).max())
-    del iq
+    raw = None
+    if os.path.exists(cap_path):
+        try:
+            raw = np.load(cap_path)
+            RESULTS["stream_capture_cached"] = True
+        except Exception:
+            raw = None
+    if raw is None:
+        bits = make_packet_bits(cfg, n_packets, rng)
+        RESULTS["stream_bits_built"] = True     # forensics checkpoint
+        _checkpoint()
+        from wenet_tpu.ops import channel
+        sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
+        iq = channel.add_awgn(sig.astype(np.complex64), ebno_db, cfg.Fs,
+                              cfg.Rs, rng=rng)
+        del sig
+        raw = fsk.iq_to_cu8(iq / np.abs(iq).max())
+        del iq
+        try:
+            np.save(cap_path + ".tmp.npy", raw)
+            os.replace(cap_path + ".tmp.npy", cap_path)
+        except Exception:
+            pass
     RESULTS["stream_capture_gen_s"] = round(time.perf_counter() - t0, 1)
     n_samples = len(raw) // 2
     RESULTS["stream_capture_s"] = round(n_samples / cfg.Fs, 1)
