@@ -1,0 +1,144 @@
+"""Day-quality-gated bench runner: wait for a healthy backend window, pounce.
+
+The tunnelled axon backend oscillates between modes on a minutes scale
+(BENCHMARKS.md round 3: dispatch 0.1 ms <-> 26 ms, H2D 1.4 GB/s <->
+17 MB/s, large-program execution collapsing ~1000x), so a single scheduled
+bench run samples a random day quality.  This tool loops a cheap FETCHLESS
+probe (tiny-dispatch latency, 64 MB H2D, one medium matmul execution — no
+D2H, which has its own independent first-fetch stall mode) and launches the
+full bench.py the moment all three look healthy; every program bench.py
+needs is expected to be in .jax_cache already, so the pounce measures the
+chip, not compiles.
+
+Usage: python tools/good_window_bench.py [--cycles N] [--sleep S]
+       [--runs K] [--out-dir DIR]
+Writes pounce_bench_<n>.json + a probe log to --out-dir (default
+bench_runs/).  Stop early by creating <out-dir>/stop.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_SRC = r'''
+import json, time
+import numpy as np
+from wenet_tpu.utils.jaxcache import enable_persistent_cache
+enable_persistent_cache()
+import jax, jax.numpy as jnp
+out = {}
+tiny = jax.jit(lambda x: x * 2.0 + 1.0)
+x = jnp.ones((8, 128), jnp.float32)
+tiny(x).block_until_ready()                       # compile (cached)
+t0 = time.perf_counter()
+for _ in range(5):
+    tiny(x).block_until_ready()
+out["dispatch_s"] = round((time.perf_counter() - t0) / 5, 5)
+a = np.random.randint(0, 256, 64 << 20, dtype=np.uint8)
+d = jax.device_put(a); d.block_until_ready()
+t0 = time.perf_counter()
+d = jax.device_put(a); d.block_until_ready()
+out["h2d_mbps"] = round(64 / (time.perf_counter() - t0), 1)
+m = jax.jit(lambda p, q: p @ q)
+p = jnp.ones((4096, 4096), jnp.bfloat16)
+m(p, p).block_until_ready()                       # compile (cached)
+t0 = time.perf_counter()
+for _ in range(3):
+    m(p, p).block_until_ready()
+out["matmul_s"] = round((time.perf_counter() - t0) / 3, 4)
+print(json.dumps(out), flush=True)
+'''
+
+
+def probe(timeout_s: float):
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE_SRC],
+                           capture_output=True, text=True, timeout=timeout_s,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except subprocess.TimeoutExpired:
+        return {"error": f"probe timeout >{timeout_s:.0f}s (wedged window)"}
+    except Exception as e:
+        return {"error": repr(e)[:120]}
+    return {"error": "no probe output"}
+
+
+def healthy(d: dict) -> bool:
+    return (d.get("dispatch_s", 9) < 0.005
+            and d.get("h2d_mbps", 0) > 300
+            and d.get("matmul_s", 9) < 0.05)       # 137 GFLOP -> >2.7 TF/s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cycles", type=int, default=25)
+    ap.add_argument("--sleep", type=float, default=180.0)
+    ap.add_argument("--runs", type=int, default=2,
+                    help="stop after this many good-window bench runs")
+    ap.add_argument("--out-dir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_runs"))
+    ap.add_argument("--bench-timeout", type=float, default=480.0)
+    args = ap.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+    log_path = os.path.join(args.out_dir, "pounce_probe_log.jsonl")
+    good = 0
+    for cycle in range(args.cycles):
+        if os.path.exists(os.path.join(args.out_dir, "stop")):
+            print("stop flag found", flush=True)
+            break
+        t0 = time.time()
+        d = probe(240.0)
+        d["t"] = round(t0, 0)
+        d["healthy"] = healthy(d)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(d) + "\n")
+        print(f"[{cycle}] {d}", flush=True)
+        if d["healthy"]:
+            # backend windows are shorter than a full bench (measured
+            # 2026-08-21: healthy probe at 01:27, chain load wedged by
+            # 01:31), so pounce with SINGLE stages — with .jax_cache warm
+            # a healthy chain stage is ~1 min and stream ~2-4 min
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ok = True
+            for stage, budget in (("chain", 150), ("stream", 280)):
+                out = os.path.join(args.out_dir,
+                                   f"pounce_{stage}_{cycle}.json")
+                try:
+                    r = subprocess.run(
+                        [sys.executable, os.path.join(repo, "bench.py"),
+                         "--stage", stage, "--out", out,
+                         "--budget", str(budget)],
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                        timeout=budget + 30, cwd=repo)
+                    rc = r.returncode
+                except subprocess.TimeoutExpired:
+                    rc, ok = -1, False
+                try:
+                    with open(out) as f:
+                        res = json.load(f)
+                except Exception:
+                    res, ok = {}, False
+                if f"{stage}_stage_timeout" in res or not res:
+                    ok = False
+                print(f"  {stage} rc={rc} -> "
+                      f"{json.dumps(res)[:220]}", flush=True)
+            if ok:
+                good += 1
+                if good >= args.runs:
+                    break
+        else:
+            time.sleep(max(args.sleep - (time.time() - t0), 5.0))
+    print(f"done: {good} good-window runs", flush=True)
+
+
+if __name__ == "__main__":
+    main()
