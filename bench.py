@@ -241,8 +241,38 @@ def stage_chain(reps=2):
         return jax.random.split(prng_key(seed), R * B).reshape(R, B, -1)
 
     keys = round_keys(1)
+    # Lowering a big program on the tunnelled backend is STOCHASTIC:
+    # measured 1.2 s and 282 s for the identical program on 2026-08-21
+    # (the axon client seems to round-trip during lowering).  A serialized
+    # jax.export artifact deserializes + wrapper-lowers in <2 s, so cache
+    # it: every later process (including the driver's end-of-round run)
+    # skips the lowering lottery.
+    exp_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
+        f"chain_export_B{B}_R{R}_v1.jaxexp")
     t0 = time.perf_counter()
-    lowered = chain.lower(sig_j, keys, ebnos)
+    lowered = None
+    if os.path.exists(exp_path):
+        try:
+            exp = jax.export.deserialize(
+                bytearray(open(exp_path, "rb").read()))
+            lowered = jax.jit(exp.call).lower(sig_j, keys, ebnos)
+            RESULTS["chain_export_cached"] = True
+        except Exception:
+            lowered = None
+    if lowered is None:
+        lowered = chain.lower(sig_j, keys, ebnos)
+        lower_s = time.perf_counter() - t0
+        if lower_s < 60:           # don't double a wedged lowering's cost
+            try:
+                data = jax.export.export(chain)(sig_j, keys, ebnos
+                                                ).serialize()
+                os.makedirs(os.path.dirname(exp_path), exist_ok=True)
+                with open(exp_path + ".tmp", "wb") as f:
+                    f.write(bytes(data))
+                os.replace(exp_path + ".tmp", exp_path)
+            except Exception:
+                pass
     compiled = lowered.compile()
     RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
     try:   # XLA's own FLOP count of the optimized program (audit artifact)
@@ -252,12 +282,21 @@ def stage_chain(reps=2):
     except Exception:
         pass
     _checkpoint()
+    # TIMING INTEGRITY: block_until_ready can return WITHOUT waiting on
+    # this backend in some states (measured 2026-08-21: 3.8 ms "exec"
+    # followed by a 367 s stall on the first result fetch).  Every timed
+    # region therefore ENDS with the (tiny, (B,) int32) result fetch, so
+    # a recorded rate can never be inflated by the async lie; the
+    # fetchless variant is reported alongside for good-day comparison.
+    samples = R * B * len(sig)
     t0 = time.perf_counter()
     ok = compiled(sig_j, keys, ebnos)
     ok.block_until_ready()
+    first_block = time.perf_counter() - t0
+    ok_host = np.asarray(ok)
     first = time.perf_counter() - t0
     RESULTS["chain_first_run_s"] = round(first, 2)
-    samples = R * B * len(sig)
+    RESULTS["chain_first_run_fetchless_s"] = round(first_block, 2)
     # provisional headline from the first (cold) run: a real throughput
     # sample that survives even if the budget dies during the warm reps
     RESULTS["full_chain_msps"] = round(samples / first / 1e6, 1)
@@ -274,20 +313,21 @@ def stage_chain(reps=2):
     for r in range(reps):
         ok = compiled(sig_j, round_keys(2 + r), ebnos)
     ok.block_until_ready()
+    dt_block = (time.perf_counter() - t0) / reps
+    ok_host = np.asarray(ok)                       # fetch INSIDE the timer
     dt = (time.perf_counter() - t0) / reps
     del RESULTS["full_chain_provisional"]
     RESULTS["chain_reps"] = reps
-    # the timing loop above is FETCHLESS (block_until_ready only): land
-    # the throughput numbers before risking a D2H stall on the ok fetch
     msps = samples / dt / 1e6
     RESULTS["full_chain_msps"] = round(msps, 1)
+    RESULTS["full_chain_msps_fetchless"] = round(samples / dt_block / 1e6, 1)
     RESULTS["realtime_x"] = round(msps * 1e6 / cfg.Fs, 1)
     if "chain_xla_gflops" in RESULTS:
         RESULTS["chain_xla_tflops_per_s"] = round(
             RESULTS["chain_xla_gflops"] / dt / 1e3, 3)
     _checkpoint()
 
-    ok = np.asarray(ok)                            # (B,) per-stream counts
+    ok = ok_host                                   # (B,) per-stream counts
     RESULTS["packets_ok"] = int(ok.sum())
     RESULTS["packets_sent"] = R * B * n_packets
     # streams deliberately span Eb/N0 8-15 dB ACROSS the decode cliff
