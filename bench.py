@@ -247,9 +247,10 @@ def stage_chain(reps=2):
     # jax.export artifact deserializes + wrapper-lowers in <2 s, so cache
     # it: every later process (including the driver's end-of-round run)
     # skips the lowering lottery.
+    plat = jax.devices()[0].platform        # exports are platform-specific
     exp_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
-        f"chain_export_B{B}_R{R}_v1.jaxexp")
+        f"chain_export_{plat}_B{B}_R{R}_v1.jaxexp")
     t0 = time.perf_counter()
     lowered = None
     if os.path.exists(exp_path):
