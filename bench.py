@@ -247,10 +247,13 @@ def stage_chain(reps=2):
     # jax.export artifact deserializes + wrapper-lowers in <2 s, so cache
     # it: every later process (including the driver's end-of-round run)
     # skips the lowering lottery.
+    from wenet_tpu.utils import jaxcache
     plat = jax.devices()[0].platform        # exports are platform-specific
-    exp_path = os.path.join(
+    fp = jaxcache.source_fingerprint(
+        extra_files=(os.path.abspath(__file__),))   # stale-guard: keyed to
+    exp_path = os.path.join(                        # bench+package sources
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
-        f"chain_export_{plat}_B{B}_R{R}_v1.jaxexp")
+        f"chain_export_{plat}_B{B}_R{R}_{fp}.jaxexp")
     t0 = time.perf_counter()
     lowered = None
     if os.path.exists(exp_path):
@@ -261,10 +264,16 @@ def stage_chain(reps=2):
             RESULTS["chain_export_cached"] = True
         except Exception:
             lowered = None
+    write_export = lowered is None
     if lowered is None:
         lowered = chain.lower(sig_j, keys, ebnos)
-        lower_s = time.perf_counter() - t0
-        if lower_s < 60:           # don't double a wedged lowering's cost
+    compiled = lowered.compile()
+    RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
+    if write_export:
+        # write-behind in a daemon thread: the export pays its own
+        # lowering spin, which on the tunnelled backend can wedge for
+        # minutes — it must never block the measurements below
+        def _write():
             try:
                 data = jax.export.export(chain)(sig_j, keys, ebnos
                                                 ).serialize()
@@ -274,8 +283,7 @@ def stage_chain(reps=2):
                 os.replace(exp_path + ".tmp", exp_path)
             except Exception:
                 pass
-    compiled = lowered.compile()
-    RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
+        threading.Thread(target=_write, daemon=True).start()
     try:   # XLA's own FLOP count of the optimized program (audit artifact)
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca

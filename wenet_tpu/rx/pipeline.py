@@ -238,7 +238,16 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
             return jnp.concatenate(
                 [pb, ok[:, None].astype(jnp.uint8), pos_b], axis=-1)
         return jax.vmap(one)(chunks, skips)
-    return jax.jit(run)
+
+    # big-program lowering is stochastic on tunnelled backends (the
+    # "lowering lottery", BENCHMARKS.md 2026-08-21): cache the lowered
+    # artifact on disk so a fresh process skips straight to the XLA cache
+    from ..utils import jaxcache
+    import hashlib as _hl
+    ck = _hl.sha1(repr(cfg).encode()).hexdigest()[:8]
+    return jaxcache.export_cached_jit(
+        jax.jit(run),
+        f"fused_{mode}_{ck}_{chunk_len}_{nf}_{k}_{max_iter}_{fmt}")
 
 
 def _normalize_fused_input(raw, input_format: str):
@@ -444,7 +453,12 @@ def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str):
         if with_eye:
             out = out + (res[2],)
         return out
-    return jax.jit(run)
+
+    from ..utils import jaxcache
+    import hashlib as _hl
+    ck = _hl.sha1(repr(cfg).encode()).hexdigest()[:8]
+    return jaxcache.export_cached_jit(
+        jax.jit(run), f"stream_{ck}_{nf}_{int(with_eye)}_{fmt}")
 
 
 class Receiver:
