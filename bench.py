@@ -423,20 +423,30 @@ def stage_stream():
     RESULTS["stream_packets_sent"] = n_packets
     _checkpoint()
 
-    # ---- H2D bandwidth of the raw bytes (context for the ingest numbers)
-    d = jax.device_put(raw)
-    d.block_until_ready()
-    t0 = time.perf_counter()
-    d = jax.device_put(raw)
-    d.block_until_ready()
-    RESULTS["h2d_mbps"] = round(len(raw) / (time.perf_counter() - t0) / 1e6, 0)
-    # hard ceiling the tunnel imposes on ANY real-ingest path: the cu8
-    # bytes must cross host->device once (2 B/sample); on degraded days
-    # this, not the program, binds (measured 37 MB/s on 2026-08-20 vs
-    # 1438 MB/s the same morning)
-    RESULTS["stream_h2d_ceiling_x"] = round(
-        RESULTS["h2d_mbps"] * 1e6 / 2 / cfg.Fs, 1)
-    del d
+    # ---- H2D bandwidth of the raw bytes (context for the ingest numbers),
+    # in a budget-boxed daemon thread: a wedged device_put (observed eating
+    # a whole 243 s stage on 2026-08-21) must not starve the actual
+    # candidates below, which carry their own H2D costs anyway
+    def _h2d_probe():
+        d = jax.device_put(raw)
+        d.block_until_ready()
+        t0 = time.perf_counter()
+        d = jax.device_put(raw)
+        d.block_until_ready()
+        RESULTS["h2d_mbps"] = round(
+            len(raw) / (time.perf_counter() - t0) / 1e6, 0)
+        # hard ceiling the tunnel imposes on ANY real-ingest path: the cu8
+        # bytes must cross host->device once (2 B/sample); on degraded
+        # days this, not the program, binds (measured 17-46 MB/s vs
+        # 1.4 GB/s within single sessions)
+        RESULTS["stream_h2d_ceiling_x"] = round(
+            RESULTS["h2d_mbps"] * 1e6 / 2 / cfg.Fs, 1)
+        _checkpoint()
+    th = threading.Thread(target=_h2d_probe, daemon=True)
+    th.start()
+    th.join(60.0)
+    if th.is_alive():
+        RESULTS["h2d_mbps"] = "stalled >60s"      # overwritten if it lands
     _checkpoint()
 
     candidates = []      # (msps, gate_ok, label)
