@@ -31,11 +31,14 @@ Grayscale input is encoded as 1x1-subsampled color with all-zero chroma
 blocks (the wire format has no grayscale mode).
 
 Interop status: header layout, CRC and packetisation conventions follow
-the published UKHAS format above; the quality-level -> quantisation-table
-ladder (QUALITY_LADDER) is the libjpeg scaling convention and is the one
-piece not verifiable in this sandbox (no fsphil/ssdv binary or golden
-corpus available; zero egress).  If tests/golden/ssdv/ contains captures
-from the real binary, tests/test_ssdv.py locks decode against them.
+the published UKHAS format above.  The quality-level -> quantisation-table
+ladder (QUALITY_LADDER) follows libjpeg's `jpeg_set_quality` convention
+and is LOCKED byte-for-byte against PIL/libjpeg-produced DQT tables at all
+8 ladder qualities (tests/test_ssdv_quant.py); end-to-end bit interop with
+the fsphil/ssdv binary itself remains unverifiable in this sandbox (no
+binary or golden corpus; zero egress).  If tests/golden/ssdv/ contains
+captures from the real binary, tests/test_ssdv.py locks decode against
+them.
 """
 from __future__ import annotations
 
