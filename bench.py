@@ -165,11 +165,24 @@ def _dispatch_overhead(key: str, budget_s: float = 45.0):
     return RESULTS.get(key)
 
 
-def make_packet_bits(cfg, n_packets, rng, gap_bits=512):
-    """Framed random packets with noise-bit gaps, padded to whole frames."""
+LEAD_BITS = 2048     # stream lead-in before the first frame (see below)
+FRAME_BITS_V2 = 343 * 8
+PKT_CYCLE_V2 = FRAME_BITS_V2 + 512           # frame + gap bits
+
+
+def make_packet_bits(cfg, n_packets, rng, gap_bits=512, lead_bits=LEAD_BITS):
+    """Framed random packets with noise-bit gaps, padded to whole frames.
+
+    The capture begins with `lead_bits` of random filler BEFORE the first
+    frame: tools/loss_census.py showed 100% of the r3 parity-band losses
+    were packet index 0 — pure estimator-warmup loss on a frame starting
+    at sample 0, a situation no real capture has (the reference TX idles
+    between packets and its benchmark capture starts with noise;
+    reference benchmarking/README.md:63-86 measures from such captures).
+    """
     from wenet_tpu.core import framing
     from wenet_tpu.ops import ldpc
-    frames_bits = []
+    frames_bits = [rng.integers(0, 2, lead_bits).astype(np.uint8)]
     for _ in range(n_packets):
         p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
         frame = framing.frame_packet(p, ldpc.encode_bytes, mode="v2")
@@ -178,6 +191,15 @@ def make_packet_bits(cfg, n_packets, rng, gap_bits=512):
     bits = np.concatenate(frames_bits)
     return np.concatenate(
         [bits, np.zeros((-len(bits)) % cfg.Nbits, np.uint8)])
+
+
+def decodable_packets(n_bits: int, n_packets: int,
+                      lead_bits: int = LEAD_BITS) -> int:
+    """EXACT count of frames fully contained in the first n_bits of a
+    make_packet_bits stream (frame i spans [lead + i*cycle,
+    lead + i*cycle + FRAME_BITS))."""
+    fit = (n_bits - lead_bits - FRAME_BITS_V2) // PKT_CYCLE_V2 + 1
+    return max(0, min(n_packets, fit))
 
 
 @_stage("chain")
@@ -269,18 +291,23 @@ def stage_chain(reps=2):
         lowered = chain.lower(sig_j, keys, ebnos)
     compiled = lowered.compile()
     RESULTS["chain_compile_s"] = round(time.perf_counter() - t0, 1)
-    if write_export:
-        # write-behind in a daemon thread: the export pays its own
-        # lowering spin, which on the tunnelled backend can wedge for
-        # minutes — it must never block the measurements below
+    def start_export():
+        # write-behind in a daemon thread, started only AFTER the timed
+        # regions (ADVICE r3): the export pays its own lowering spin over
+        # the same tunnel, which would depress the cold/warm measurements
+        # it ran concurrently with — the artifact only serves FUTURE
+        # processes, so it can start last and even die with the stage.
+        if not write_export:
+            return
         def _write():
             try:
                 data = jax.export.export(chain)(sig_j, keys, ebnos
                                                 ).serialize()
                 os.makedirs(os.path.dirname(exp_path), exist_ok=True)
-                with open(exp_path + ".tmp", "wb") as f:
+                tmp = f"{exp_path}.{os.getpid()}.tmp"
+                with open(tmp, "wb") as f:
                     f.write(bytes(data))
-                os.replace(exp_path + ".tmp", exp_path)
+                os.replace(tmp, exp_path)
             except Exception:
                 pass
         threading.Thread(target=_write, daemon=True).start()
@@ -317,6 +344,7 @@ def stage_chain(reps=2):
     reps = reps if _remaining() > 1.3 * reps * first + 10 else (
         1 if _remaining() > 1.3 * first + 10 else 0)
     if reps == 0:
+        start_export()
         return
     t0 = time.perf_counter()
     for r in range(reps):
@@ -335,6 +363,7 @@ def stage_chain(reps=2):
         RESULTS["chain_xla_tflops_per_s"] = round(
             RESULTS["chain_xla_gflops"] / dt / 1e3, 3)
     _checkpoint()
+    start_export()                 # timed regions done; seed the artifact
 
     ok = ok_host                                   # (B,) per-stream counts
     RESULTS["packets_ok"] = int(ok.sum())
@@ -348,12 +377,74 @@ def stage_chain(reps=2):
     RESULTS["packets_note"] = (
         "streams span EbN0 8-15 dB across the ~9.5 dB decode cliff by "
         "design; sub-cliff losses are expected (parity band reported "
-        "separately)")
+        "separately). Capture has a 2048-bit lead-in before frame 0 "
+        "(tools/loss_census.py: the r3 3.6% parity-band deficit was 100% "
+        "packet-0 estimator-warmup loss on a lead-in-free capture)")
     _checkpoint()
     overhead = _dispatch_overhead("chain_dispatch_overhead_s")
     if isinstance(overhead, float):
         RESULTS["full_chain_msps_program"] = round(
             samples / max(dt - overhead, 1e-9) / 1e6, 1)  # minus tunnel floor
+    _checkpoint()
+
+
+def _degraded_stream_program_rate(cfg, raw, n_packets):
+    """Wire-limited-day fallback: program-rate bound of the fused chain on
+    DEVICE-RESIDENT data (VERDICT r3 weak#1 — the r3 driver record
+    contained no real-ingest number at all after an H2D stall).  A 12 s
+    prefix crosses with a budgeted put; the one-dispatch program is then
+    timed without per-call H2D, so the record carries `stream_program_*`
+    (what the chip can ingest) alongside the h2d ceiling (what the wire
+    allowed that day)."""
+    import jax
+    import jax.numpy as jnp
+    from wenet_tpu.rx import pipeline as P
+
+    secs_p = 12.0
+    sub = raw[: 2 * int(secs_p * cfg.Fs)]
+    data, n, fmt = P._normalize_fused_input(sub, "cu8")
+    n_chunks = 8
+    syms_pp, chunk_len, starts, skips = P._fused_geometry(
+        cfg, "v2", n, n_chunks, 8)
+    nf = cfg.num_frames(chunk_len)
+    k = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
+    fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt)
+    box = {}
+    done = threading.Event()
+
+    def put():
+        try:
+            d = jax.device_put(np.ascontiguousarray(data))
+            d.block_until_ready()
+            box["d"] = d
+            done.set()
+        except Exception:
+            pass
+    th = threading.Thread(target=put, daemon=True)
+    th.start()
+    th.join(max(min(_remaining() - 90, 180), 10))
+    if not done.is_set():
+        RESULTS["stream_program_rate_status"] = "prefix H2D stalled too"
+        _checkpoint()
+        return
+    d = box["d"]
+    sj, kj = jnp.asarray(starts), jnp.asarray(skips)
+    t0 = time.perf_counter()
+    packed = np.asarray(fn(d, sj, kj))
+    RESULTS["stream_program_first_call_s"] = round(time.perf_counter() - t0, 1)
+    RESULTS["stream_program_prefix_s"] = secs_p
+    _checkpoint()
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        packed = np.asarray(fn(d, sj, kj))       # ends with the result fetch
+    dt = (time.perf_counter() - t0) / reps
+    res = P._dedup_payloads(P._unpack_fused(packed, starts, cfg), syms_pp)
+    RESULTS["stream_program_msps"] = round(n / dt / 1e6, 2)
+    RESULTS["stream_program_realtime_x"] = round(n / dt / cfg.Fs, 1)
+    RESULTS["stream_program_packets_ok"] = len(res)
+    RESULTS["stream_program_packets_expected"] = decodable_packets(
+        n * cfg.Rs // cfg.Fs, n_packets)
     _checkpoint()
 
 
@@ -386,13 +477,27 @@ def stage_stream():
     # 2026-08-20) — and the ingest contract starts from host bytes anyway.
     rng = np.random.default_rng(3)
     n_bits = int(secs * cfg.Rs)
-    pkt_cycle = 343 * 8 + 512                # v2 frame bits + gap
-    n_packets = max(n_bits // pkt_cycle - 1, 1)
+    pkt_cycle = PKT_CYCLE_V2
+    n_packets = max((n_bits - LEAD_BITS) // pkt_cycle - 1, 1)
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
+    # cache key covers EVERY input to the generated bytes (ADVICE r3):
+    # ebno + a hash of the generator code itself, so editing the noise
+    # level or the signal-generation path can never silently reuse a
+    # stale capture against new decode code
+    import hashlib
+    import inspect
+    from wenet_tpu.ops import channel as _chan
+    gen_fp = hashlib.sha1(
+        (f"{ebno_db}_{LEAD_BITS}_" +
+         inspect.getsource(make_packet_bits) +
+         inspect.getsource(fsk.fsk_mod_np) +
+         inspect.getsource(_chan.add_awgn) +
+         inspect.getsource(fsk.iq_to_cu8)).encode()).hexdigest()[:10]
     cap_path = os.path.join(
-        cache_dir, f"stream_cap_{int(secs)}s_{cfg.Fs}_{cfg.Rs}_seed3.npy")
+        cache_dir,
+        f"stream_cap_{int(secs)}s_{cfg.Fs}_{cfg.Rs}_seed3_{gen_fp}.npy")
     t0 = time.perf_counter()
     raw = None
     if os.path.exists(cap_path):
@@ -427,6 +532,10 @@ def stage_stream():
     # in a budget-boxed daemon thread: a wedged device_put (observed eating
     # a whole 243 s stage on 2026-08-21) must not starve the actual
     # candidates below, which carry their own H2D costs anyway
+    h2d_done = threading.Event()                 # ADVICE r3: no sentinel
+    #   race — the thread signals completion; h2d_mbps stays numeric and a
+    #   separate status key records a stall
+
     def _h2d_probe():
         d = jax.device_put(raw)
         d.block_until_ready()
@@ -441,15 +550,29 @@ def stage_stream():
         # 1.4 GB/s within single sessions)
         RESULTS["stream_h2d_ceiling_x"] = round(
             RESULTS["h2d_mbps"] * 1e6 / 2 / cfg.Fs, 1)
+        h2d_done.set()
         _checkpoint()
     th = threading.Thread(target=_h2d_probe, daemon=True)
     th.start()
-    th.join(60.0)
-    if th.is_alive():
-        RESULTS["h2d_mbps"] = "stalled >60s"      # overwritten if it lands
+    th.join(45.0)
+    if not h2d_done.is_set():
+        RESULTS["h2d_probe_status"] = "stalled >45s"
     _checkpoint()
 
     candidates = []      # (msps, gate_ok, label)
+
+    if not h2d_done.is_set():
+        # H2D is wedged: the host-ingest candidates below all begin with a
+        # full-capture device_put and would eat the stage budget measuring
+        # nothing (the r3 record's empty stream stage).  Degrade to the
+        # PROGRAM-RATE bound: move a 12 s prefix with a budgeted put (small
+        # enough to land even at single-MB/s), then time the fused chain on
+        # device-resident data — together with the (eventually-recorded)
+        # h2d ceiling this fully characterizes a wire-limited day.
+        _degraded_stream_program_rate(cfg, raw, n_packets)
+        if not h2d_done.is_set():
+            _finish_stream(candidates, cfg)
+            return
 
     # ---- fused ONE-dispatch path (the production file/batch ingest)
     n_chunks = int(os.environ.get("WENET_BENCH_PAR_CHUNKS", "16"))
@@ -523,7 +646,10 @@ def stage_stream():
     push_secs = min(secs, 8.0)
     sub = raw[: 2 * int(push_secs * cfg.Fs)]
     push_samples = len(sub) // 2
-    push_expected = max(int(push_secs * cfg.Rs) // pkt_cycle - 1, 1)
+    # EXACT decodable count for the prefix (VERDICT r3 weak#4: the old
+    # estimate under-counted by one, so records showed ok > sent)
+    push_expected = decodable_packets(push_samples * cfg.Rs // cfg.Fs,
+                                      n_packets)
     chunk = 2 * int(cfg.Fs * 2.0)            # 2 s of cu8 bytes per push
 
     def run(pipelined):
