@@ -38,12 +38,15 @@ fi
 
 RX_FLOW="${RX_FLOW:-IQ}"                # IQ | GQRX | SSB (start_rx.sh:118-150)
 
-GAIN_ARGS=()
-if [ "$GAIN" != "0" ]; then GAIN_ARGS+=(-g "$GAIN"); fi
-if [ "$BIAS" = "1" ]; then GAIN_ARGS+=(-T); fi
+# plain strings, not arrays: bash 3.2 + `set -u` chokes on empty-array
+# expansion even with the ${arr[@]+...} guard in some point releases; the
+# values here are numeric flags with no spaces, so word splitting is safe
+GAIN_ARGS=""
+if [ "$GAIN" != "0" ]; then GAIN_ARGS="-g $GAIN"; fi
+if [ "$BIAS" = "1" ]; then GAIN_ARGS="$GAIN_ARGS -T"; fi
 
-EXTRA=()
-if [ "$HEADLESS" = "1" ]; then EXTRA+=(--headless); fi
+EXTRA=""
+if [ "$HEADLESS" = "1" ]; then EXTRA="--headless"; fi
 
 echo "$MYCALL: flow $RX_FLOW @ ${RX_SSB_FREQ} Hz, ${SDR_RATE} S/s," \
      "mode $FRAMING_MODE (baud $BAUD_RATE)" >&2
@@ -55,23 +58,23 @@ if [ "$RX_FLOW" = "GQRX" ]; then
         python3 -m wenet_tpu rx - --format s16 --mode "$FRAMING_MODE" \
             --fs 48000 --rs "$BAUD_RATE" --est-min 1 --est-max 23500 \
             --image-dir "$IMAGE_DIR" --log-dir "$LOG_DIR" --partialupdate 4 \
-            ${EXTRA[@]+"${EXTRA[@]}"}
+            $EXTRA
 elif [ "$RX_FLOW" = "SSB" ]; then
     # DC-spike tuners: receive below centre, USB-demodulate via csdr to
     # real s16 (start_rx.sh:138-149)
     exec rtl_sdr -d "$DEVICE" -s "$SDR_RATE" -f "$RX_SSB_FREQ" \
-            ${GAIN_ARGS[@]+"${GAIN_ARGS[@]}"} - | \
+            $GAIN_ARGS - | \
         csdr convert_u8_f | csdr bandpass_fir_fft_cc 0.05 0.45 0.05 | \
         csdr realpart_cf | csdr gain_ff 0.5 | csdr convert_f_s16 | \
         python3 -m wenet_tpu rx - --format s16 --mode "$FRAMING_MODE" \
             --fs "$SDR_RATE" --rs "$BAUD_RATE" \
             --image-dir "$IMAGE_DIR" --log-dir "$LOG_DIR" --partialupdate 32 \
-            ${EXTRA[@]+"${EXTRA[@]}"}
+            $EXTRA
 else
     exec rtl_sdr -d "$DEVICE" -s "$SDR_RATE" -f "$RX_SSB_FREQ" \
-            ${GAIN_ARGS[@]+"${GAIN_ARGS[@]}"} - | \
+            $GAIN_ARGS - | \
         python3 -m wenet_tpu rx - --format cu8 --mode "$FRAMING_MODE" \
             --fs "$SDR_RATE" --rs "$BAUD_RATE" \
             --image-dir "$IMAGE_DIR" --log-dir "$LOG_DIR" --partialupdate 32 \
-            ${EXTRA[@]+"${EXTRA[@]}"}
+            $EXTRA
 fi

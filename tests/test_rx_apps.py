@@ -47,7 +47,9 @@ def test_receiver_stats_record():
     rng = np.random.default_rng(0)
     bits = rng.integers(0, 2, cfg.Nbits * 30).astype(np.uint8)
     sig, _ = fsk.fsk_mod_np(cfg, bits, 19200, 9600)
-    rx = Receiver(mode="v2", cfg=cfg)
+    # stats/GUI consumers opt into the eye-probe carry (cli/rx does when
+    # UDP stats are on); the decode-only default is with_eye=False
+    rx = Receiver(mode="v2", cfg=cfg, with_eye=True)
     rx.push((0.3 * sig).astype(np.complex64))
     rec = rxstats.receiver_stats_record(rx)
     assert set(rxstats.FSK_STATS_FIELDS) <= set(rec)

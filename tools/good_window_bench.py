@@ -108,7 +108,10 @@ def main():
             # a healthy chain stage is ~1 min and stream ~2-4 min
             repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             ok = True
-            for stage, budget in (("chain", 150), ("stream", 280)):
+            # STREAM first: it is the round-4 headline ask and windows are
+            # shorter than two stages (the 2026-08-21 04:3x window closed
+            # between the chain and stream stages of a full bench run)
+            for stage, budget in (("stream", 280), ("chain", 150)):
                 out = os.path.join(args.out_dir,
                                    f"pounce_{stage}_{cycle}.json")
                 try:

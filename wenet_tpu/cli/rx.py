@@ -113,7 +113,7 @@ def main(argv=None):
         limits = (args.est_min if args.est_min is not None else cfg.est_min,
                   args.est_max if args.est_max is not None else cfg.est_max)
     rx = Receiver(mode=args.mode, cfg=cfg, estimator_limits=limits,
-                  pipelined=args.pipelined)
+                  pipelined=args.pipelined, with_eye=not args.no_udp)
     emitter = UDPEmitter(enabled=not args.no_udp)
     router = PacketRouter(image_dir=args.image_dir, log_dir=args.log_dir,
                           partial_update=args.partialupdate,
@@ -151,6 +151,12 @@ def main(argv=None):
               f"({len(iq) / max(dt, 1e-9) / 1e6:.2f} Msamp/s)",
               file=sys.stderr)
         return 0
+    if args.slabs > 1 and not args.parallel:
+        # --slabs only selects a fused-path variant; without --parallel it
+        # used to be silently ignored (ADVICE r3) — imply the default
+        args.parallel = 4 * args.slabs
+        print(f"--slabs {args.slabs} implies --parallel {args.parallel} "
+              "(fused one-dispatch mode)", file=sys.stderr)
     if args.parallel:
         # one-shot fused decode: N concurrent chunk demods PLUS the UW
         # deframe + LDPC + CRC all in ONE device dispatch (cu8 bytes convert
@@ -221,7 +227,8 @@ def main(argv=None):
     raw_push = args.format in ("cu8", "cs16") and mix_frac == 0.0
     if raw_push:
         rx = Receiver(mode=args.mode, cfg=cfg, estimator_limits=limits,
-                      pipelined=args.pipelined, input_format=args.format)
+                      pipelined=args.pipelined, input_format=args.format,
+                      with_eye=not args.no_udp)
 
     last_stats = 0.0
     t0 = time.time()

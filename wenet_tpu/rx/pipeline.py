@@ -16,6 +16,7 @@ import numpy as np
 from ..core import framing
 from ..ops import deframe, fsk
 from ..utils import compat
+from ..utils import jaxcache as _jaxcache
 
 
 MODE_CONFIGS = {
@@ -302,7 +303,8 @@ def _dedup_payloads(results, syms_pp: int):
 def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
                     cfg: fsk.FSKConfig | None = None, n_chunks: int = 16,
                     warmup_frames: int = 8, max_iter: int = 10,
-                    input_format: str = "cu8", k_per_chunk: int | None = None):
+                    input_format: str = "cu8", k_per_chunk: int | None = None,
+                    mesh=None):
     """Single-dispatch capture decode: raw samples -> CRC-valid payloads.
 
     The dispatch-latency-proof production ingest path (the contract of the
@@ -315,6 +317,12 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
 
     k_per_chunk bounds the packets recovered per chunk; the default covers
     a back-to-back packet stream with margin.
+
+    mesh: optional jax.sharding.Mesh — the chunk axis shards over the
+    mesh's first axis (n_chunks must divide by its size): the capture
+    bytes replicate, each device demodulates/deframes its own chunks, and
+    XLA partitions the whole one-dispatch program (computation follows
+    the input shardings — the pod configuration of this path).
     """
     cfg = MODE_CONFIGS[mode] if cfg is None else cfg
     import jax.numpy as jnp
@@ -328,8 +336,20 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
                         input_format)
-    packed = np.asarray(fn(jnp.asarray(data), jnp.asarray(starts),
-                           jnp.asarray(skips)))
+    data_j = jnp.asarray(data)
+    starts_j, skips_j = jnp.asarray(starts), jnp.asarray(skips)
+    if mesh is not None:
+        # export artifacts are not sharding-specialized: use the pristine
+        # jitted program so XLA partitions it for THIS mesh
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if isinstance(fn, _jaxcache._ExportCachedJit):
+            fn = fn.fn
+        ax = mesh.axis_names[0]
+        data_j = jax.device_put(data_j, NamedSharding(mesh, P()))
+        starts_j = jax.device_put(starts_j, NamedSharding(mesh, P(ax)))
+        skips_j = jax.device_put(skips_j, NamedSharding(mesh, P(ax)))
+    packed = np.asarray(fn(data_j, starts_j, skips_j))
     return _dedup_payloads(_unpack_fused(packed, starts, cfg), syms_pp)
 
 
@@ -484,12 +504,14 @@ class Receiver:
 
     def __init__(self, mode: str = "v2", cfg: fsk.FSKConfig | None = None,
                  estimator_limits: tuple | None = None, max_iter: int = 10,
-                 pipelined: bool = False, with_eye: bool = True,
+                 pipelined: bool = False, with_eye: bool = False,
                  input_format: str = "c64"):
         self.mode = mode
-        self.with_eye = with_eye     # False: skip the eye-probe scan carry
-        #   (pure-decode callers compile a cheaper program; stats consumers
-        #   need the default True for live eye_diagram records)
+        self.with_eye = with_eye     # True: carry the per-frame eye-probe
+        #   select through the scan for live eye_diagram records (GUI/stats
+        #   consumers opt in — cli/rx does when UDP stats are on); the
+        #   default False keeps the decode-only hot path free of it
+        #   (VERDICT r3 #8)
         if input_format not in ("c64", "cu8", "cs16"):
             raise ValueError("input_format must be 'c64', 'cu8' or 'cs16'")
         self.input_format = input_format

@@ -113,9 +113,12 @@ class _ExportCachedJit:
         try:
             import jax
             data = jax.export.export(self.fn)(*args).serialize()
-            with open(path + ".tmp", "wb") as f:
+            # process-unique temp name: concurrent writers (e.g. parallel
+            # good_window_bench pounces) must not interleave into one .tmp
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
                 f.write(bytes(data))
-            os.replace(path + ".tmp", path)
+            os.replace(tmp, path)
         except Exception:
             pass
 
@@ -132,6 +135,13 @@ class _ExportCachedJit:
                             bytearray(open(path, "rb").read()))
                         self._call = jax.jit(exp.call)
                     except Exception:
+                        # a corrupt artifact (torn write) would otherwise
+                        # disable the lowering cache for this key forever:
+                        # drop it so the next miss rewrites a good one
+                        try:
+                            os.remove(path)
+                        except OSError:
+                            pass
                         self._call = self.fn
                 else:
                     self._call = self.fn
