@@ -173,3 +173,21 @@ def test_fused_cs16_ingest():
                                      input_format="cs16")
     assert len(fused) >= 5
     assert set(fused) <= set(payloads)
+
+
+def test_fused_mesh_sharded_equals_unsharded():
+    """The production fused path with its chunk axis sharded over the full
+    device mesh (the pod configuration, VERDICT r3 #6) returns exactly the
+    unsharded payload list — XLA partitions the one-dispatch program from
+    the input shardings alone."""
+    from wenet_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(64)
+    payloads, iq = _capture(12, rng, ebno=14.0)
+    raw = fsk.iq_to_cu8(iq / np.abs(iq).max())
+    base = pipeline.decode_iq_fused(raw, "v2", CFG, n_chunks=8,
+                                    input_format="cu8")
+    mesh = make_mesh(8)
+    sharded = pipeline.decode_iq_fused(raw, "v2", CFG, n_chunks=8,
+                                       input_format="cu8", mesh=mesh)
+    assert sharded == base
+    assert len(sharded) >= 11

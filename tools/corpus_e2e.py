@@ -29,7 +29,8 @@ from wenet_tpu.rx.pipeline import Receiver                   # noqa: E402
 import refbins                                               # noqa: E402
 
 
-def main(ebno=12.0, resolution=(800, 608), mode="v2", limit=None):
+def main(ebno=12.0, resolution=(800, 608), mode="v2", limit=None,
+         fused=0, slabs=0):
     # real flight rates: v2 Fs=960000/Rs=96000, v1 Fs=921416/Rs=115177
     cfg = fsk.V2_CONFIG if mode == "v2" else fsk.V1_CONFIG
     images = sorted(glob.glob("/root/reference/test_images/*.jpg"),
@@ -62,18 +63,37 @@ def main(ebno=12.0, resolution=(800, 608), mode="v2", limit=None):
         iq = channel.add_awgn(sig.astype(np.complex64), ebno, cfg.Fs, cfg.Rs,
                               rng=rng)
         # pad all captures to one length so the jitted demod compiles once
-        pad_len = 10_000_000
+        # (fused mode: ~27 Msamples covers an 800x608 q90 image at flight
+        # rate with margin; the pad is decoded too — throughput counts it,
+        # real-time uses the unpadded signal duration)
+        pad_len = 27_000_000 if fused else 10_000_000
+        n_signal = len(iq)
         if len(iq) < pad_len:
             iq = np.concatenate(
                 [iq, np.zeros(pad_len - len(iq), np.complex64)])
         raw = fsk.iq_to_cu8(iq)
 
-        rx = Receiver(mode=mode, cfg=cfg)
         t0 = time.time()
-        ours = rx.decode_iq(fsk.iq_from_cu8(raw))
+        if fused:
+            # the production one-dispatch ingest path, raw cu8 bytes in
+            # (reference contract benchmarking/test_demod.py:21-44), with
+            # optional slab H2D/exec overlap
+            from wenet_tpu.rx.pipeline import (decode_iq_fused,
+                                               decode_iq_fused_overlap)
+            if slabs > 1:
+                ours = decode_iq_fused_overlap(
+                    raw, mode, cfg, n_slabs=slabs,
+                    chunks_per_slab=max(fused // slabs, 1),
+                    input_format="cu8")
+            else:
+                ours = decode_iq_fused(raw, mode, cfg, n_chunks=fused,
+                                       input_format="cu8")
+        else:
+            rx = Receiver(mode=mode, cfg=cfg)
+            ours = rx.decode_iq(fsk.iq_from_cu8(raw))
         dt = time.time() - t0
         total_t += dt
-        total_samples += len(iq)
+        total_samples += n_signal
 
         ref_n = "-"
         match = "-"
@@ -111,5 +131,14 @@ if __name__ == "__main__":
     ap.add_argument("--mode", choices=["v1", "v2"], default="v2")
     ap.add_argument("--ebno", type=float, default=12.0)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--fused", type=int, default=0, metavar="N",
+                    help="decode via the one-dispatch fused path with N "
+                         "chunks (the on-chip corpus configuration)")
+    ap.add_argument("--slabs", type=int, default=0,
+                    help="with --fused: slab-pipelined H2D/exec overlap")
     a = ap.parse_args()
-    main(ebno=a.ebno, mode=a.mode, limit=a.limit)
+    from wenet_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
+    main(ebno=a.ebno, mode=a.mode, limit=a.limit, fused=a.fused,
+         slabs=a.slabs)
