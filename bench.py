@@ -408,7 +408,8 @@ def _degraded_stream_program_rate(cfg, raw, n_packets):
         cfg, "v2", n, n_chunks, 8)
     nf = cfg.num_frames(chunk_len)
     k = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
-    fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt)
+    fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt,
+                          P._fused_unroll(None))
     box = {}
     done = threading.Event()
 
@@ -560,6 +561,10 @@ def stage_stream():
     _checkpoint()
 
     candidates = []      # (msps, gate_ok, label)
+    # defaults from tools/stream_tune.py 2026-08-21: fused32 beat 16/64 on
+    # program rate (37-38 MS/s degraded-exec day); overlap 4 slabs x 16
+    # chunks/slab was the best real-ingest config on a degraded wire
+    n_chunks = int(os.environ.get("WENET_BENCH_PAR_CHUNKS", "32"))
 
     if not h2d_done.is_set():
         # H2D is wedged: the host-ingest candidates below all begin with a
@@ -575,7 +580,6 @@ def stage_stream():
             return
 
     # ---- fused ONE-dispatch path (the production file/batch ingest)
-    n_chunks = int(os.environ.get("WENET_BENCH_PAR_CHUNKS", "16"))
     t0 = time.perf_counter()
     pk = decode_iq_fused(raw, mode="v2", n_chunks=n_chunks,
                          input_format="cu8")
@@ -608,7 +612,8 @@ def stage_stream():
     if _remaining() > 75:
         from wenet_tpu.rx.pipeline import decode_iq_fused_overlap
         n_slabs = int(os.environ.get("WENET_BENCH_SLABS", "4"))
-        cps = max(n_chunks // n_slabs, 1)
+        cps = int(os.environ.get("WENET_BENCH_SLAB_CPS",
+                                 str(max(n_chunks // 2, 1))))
         t0 = time.perf_counter()
         pk2 = decode_iq_fused_overlap(raw, mode="v2", n_slabs=n_slabs,
                                       chunks_per_slab=cps,

@@ -114,7 +114,8 @@ def main():
     timed("topk_only", topk_only, soft_dev, k=k)
 
     # (b) the full fused chain (the production program, export-cached)
-    fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt)
+    fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt,
+                             P._fused_unroll(None))
     timed("full_chain", fn, d, sj, kj, k=k)
 
 

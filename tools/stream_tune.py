@@ -105,7 +105,8 @@ def main():
             cfg, "v2", n, nc, 8)
         nf = cfg.num_frames(chunk_len)
         k = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
-        fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt)
+        fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt,
+                             P._fused_unroll(None))
         t0 = time.perf_counter()
         d = jax.device_put(np.ascontiguousarray(data))
         d.block_until_ready()

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools as _functools
+import os as _os
 
 import numpy as np
 
@@ -187,7 +188,7 @@ def _fused_geometry(cfg: fsk.FSKConfig, mode: str, n: int, n_chunks: int,
 
 @_functools.lru_cache(maxsize=8)
 def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
-                   k: int, max_iter: int, fmt: str):
+                   k: int, max_iter: int, fmt: str, unroll: int = 1):
     """Compile the ONE-dispatch RX chain: ingest-format conversion +
     overlap-save chunk gather + vmapped scan demod + on-device UW top-k
     deframe + batched BP decode + CRC — a single XLA program.
@@ -223,7 +224,10 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
             else:                         # float32 (re, im) pairs
                 x = chunk
             z = jax.lax.complex(x[..., 0], x[..., 1])
-            _, outs = fsk.demod_stream(cfg, z, nf)
+            # scan unroll amortizes the per-step overhead that dominates
+            # the sequential demod at production chunk counts (measured
+            # 13 -> 32 MS/s from u1 -> u4 at 32 chunks, fused_profile)
+            _, outs = fsk.demod_stream(cfg, z, nf, unroll=unroll)
             # blank halo-warmup + past-end frames to +1.0 (hard bit 0: can
             # never hit the UW, so no spurious candidates) — keeps shapes
             # static where the host path drops those frames
@@ -246,9 +250,20 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
     from ..utils import jaxcache
     import hashlib as _hl
     ck = _hl.sha1(repr(cfg).encode()).hexdigest()[:8]
-    return jaxcache.export_cached_jit(
-        jax.jit(run),
-        f"fused_{mode}_{ck}_{chunk_len}_{nf}_{k}_{max_iter}_{fmt}")
+    key = f"fused_{mode}_{ck}_{chunk_len}_{nf}_{k}_{max_iter}_{fmt}"
+    if unroll != 1:
+        key += f"_u{unroll}"
+    return jaxcache.export_cached_jit(jax.jit(run), key)
+
+
+def _fused_unroll(value):
+    """Fused-path scan unroll: semantics-preserving codegen knob (identical
+    outputs for any value).  Measured a wash on the full chain (37.9 vs
+    38.2 MS/s u1 vs u4 at 32 chunks on a degraded-exec day,
+    tools/fused_profile.py 2026-08-21) — default 1; env for experiments."""
+    if value is not None:
+        return int(value)
+    return int(_os.environ.get("WENET_FUSED_UNROLL", "1"))
 
 
 def _normalize_fused_input(raw, input_format: str):
@@ -304,7 +319,7 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
                     cfg: fsk.FSKConfig | None = None, n_chunks: int = 16,
                     warmup_frames: int = 8, max_iter: int = 10,
                     input_format: str = "cu8", k_per_chunk: int | None = None,
-                    mesh=None):
+                    mesh=None, scan_unroll: int | None = None):
     """Single-dispatch capture decode: raw samples -> CRC-valid payloads.
 
     The dispatch-latency-proof production ingest path (the contract of the
@@ -335,7 +350,7 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
         k_per_chunk = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
-                        input_format)
+                        input_format, _fused_unroll(scan_unroll))
     data_j = jnp.asarray(data)
     starts_j, skips_j = jnp.asarray(starts), jnp.asarray(skips)
     if mesh is not None:
@@ -358,7 +373,8 @@ def decode_iq_fused_overlap(raw: np.ndarray, mode: str = "v2",
                             n_slabs: int = 4, chunks_per_slab: int = 4,
                             warmup_frames: int = 8, max_iter: int = 10,
                             input_format: str = "cu8",
-                            k_per_chunk: int | None = None, depth: int = 2):
+                            k_per_chunk: int | None = None, depth: int = 2,
+                            scan_unroll: int | None = None):
     """Slab-pipelined fused decode: H2D transfer overlapped with execution.
 
     Same one-program chain as `decode_iq_fused`, but the capture is cut
@@ -403,7 +419,7 @@ def decode_iq_fused_overlap(raw: np.ndarray, mode: str = "v2",
     skips_mid = np.where(starts > 0, skips, warmup_frames).astype(np.int32)
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
-                        input_format)
+                        input_format, _fused_unroll(scan_unroll))
     starts_j = jnp.asarray(starts)
     skips_j = {False: jnp.asarray(skips), True: jnp.asarray(skips_mid)}
 
@@ -431,7 +447,8 @@ def decode_iq_fused_overlap(raw: np.ndarray, mode: str = "v2",
 
 
 @_functools.lru_cache(maxsize=32)
-def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str):
+def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str,
+                    unroll: int = 1):
     """Compiled streaming-push program: ingest conversion (cu8 -> complex on
     DEVICE — the rtl_sdr bytes are what crosses the wire, 4x less H2D than
     complex64 pairs) + scan demod + on-device last-valid-frame stat gather.
@@ -453,7 +470,7 @@ def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str):
             x = data
         iq = jax.lax.complex(x[:, 0], x[:, 1])
         res = fsk.demod_stream(cfg, iq, nf, state, n_valid=n_valid,
-                               with_eye=with_eye)
+                               with_eye=with_eye, unroll=unroll)
         final, outs = res[0], res[1]
         vidx = jnp.arange(nf, dtype=jnp.int32)
         last = jnp.max(jnp.where(outs.valid, vidx, -1))
@@ -477,8 +494,10 @@ def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str):
     from ..utils import jaxcache
     import hashlib as _hl
     ck = _hl.sha1(repr(cfg).encode()).hexdigest()[:8]
-    return jaxcache.export_cached_jit(
-        jax.jit(run), f"stream_{ck}_{nf}_{int(with_eye)}_{fmt}")
+    key = f"stream_{ck}_{nf}_{int(with_eye)}_{fmt}"
+    if unroll != 1:
+        key += f"_u{unroll}"
+    return jaxcache.export_cached_jit(jax.jit(run), key)
 
 
 class Receiver:
@@ -589,7 +608,8 @@ class Receiver:
         else:
             data = np.zeros((blen, 2), np.float32)
             data[:n_samples] = buf.view(np.float32).reshape(-1, 2)
-        fn = _stream_program(cfg, nf, self.with_eye, self.input_format)
+        fn = _stream_program(cfg, nf, self.with_eye, self.input_format,
+                             _fused_unroll(None))
         res = fn(jnp.asarray(data), self.state, n_samples)
         final, packed = res[:2]
         eye = res[2] if self.with_eye else None
