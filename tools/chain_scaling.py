@@ -41,20 +41,24 @@ def main():
             iq = sig + jnp.sqrt(nvar / 2) * jax.lax.complex(z[:, 0], z[:, 1])
             iq = iq / jnp.max(jnp.abs(iq))
             _, outs = fsk.demod_stream(cfg, iq, nf)
-            return outs.soft
+            # tiny reduction: timed regions must END with a RESULT FETCH
+            # (block_until_ready can return without waiting on this
+            # backend, BENCHMARKS.md round 3 — the "418 GS/s" bogus mode);
+            # the sum forces the full demod while keeping D2H to (B,) f32
+            return jnp.sum(outs.soft)
         return jax.vmap(one)(keys, ebno_db)
 
     for B in [int(a) for a in (sys.argv[1:] or ["8", "16", "32", "64"])]:
         ebnos = jnp.linspace(8.0, 15.0, B)
         keys = jax.random.split(prng_key(1), B)
         t0 = time.perf_counter()
-        chain(sig_j, keys, ebnos).block_until_ready()
+        np.asarray(chain(sig_j, keys, ebnos))
         comp = time.perf_counter() - t0
         reps = 3
         t0 = time.perf_counter()
         for r in range(reps):
             soft = chain(sig_j, jax.random.split(prng_key(2 + r), B), ebnos)
-        soft.block_until_ready()
+        np.asarray(soft)                       # fetch INSIDE the timer
         dt = (time.perf_counter() - t0) / reps
         msps = B * len(sig) / dt / 1e6
         print(f"B={B:3d}: {msps:,.0f} Msamp/s ({msps*1e6/cfg.Fs:,.0f}x rt, "

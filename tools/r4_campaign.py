@@ -1,0 +1,121 @@
+"""Round-4 measurement campaign: serial TPU jobs gated on window health.
+
+The tunnelled backend's failure modes are INDEPENDENT (2026-08-21: a
+window with 380 GS/s execution had a fully wedged 182 MB device_put
+minutes later), so a fixed schedule samples random day quality.  This
+orchestrator owns the TPU serially: every cycle it runs the cheap
+three-point probe (dispatch / 64 MB H2D / 4096^3 matmul) and dispatches
+the highest-priority job whose needs the window can meet:
+
+  priority 1: bench.py stream stage  (needs H2D + exec; the round-4 ask)
+  priority 2: bench.py chain stage   (needs exec)
+  priority 3: one-shot extras, each once: chain_scaling (fixed, fetch-
+              honest), wideband_scaling, pp_breakdown, corpus seed+full
+
+Stop early: touch bench_runs/stop.  Log: bench_runs/campaign_log.jsonl.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import good_window_bench as gwb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "bench_runs")
+
+
+def log(rec):
+    rec["t"] = round(time.time(), 0)
+    with open(os.path.join(OUT, "campaign_log.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def run_job(name, argv, timeout_s, outfile=None):
+    t0 = time.time()
+    try:
+        r = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
+                           timeout=timeout_s)
+        rc = r.returncode
+        tail = (r.stdout or "").strip().splitlines()[-6:]
+    except subprocess.TimeoutExpired:
+        rc, tail = -1, ["TIMEOUT"]
+    rec = {"job": name, "rc": rc, "wall_s": round(time.time() - t0, 0),
+           "tail": tail}
+    if outfile:
+        try:
+            with open(outfile) as f:
+                rec["result"] = json.load(f)
+        except Exception:
+            pass
+    log(rec)
+    return rec
+
+
+def main():
+    cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    stream_goal = 2
+    stream_goods = 0
+    chain_goods = 0
+    extras = ["chain_scaling", "wideband", "pp", "corpus_seed", "corpus_full"]
+    for cycle in range(cycles):
+        if os.path.exists(os.path.join(OUT, "stop")):
+            log({"event": "stop flag"})
+            break
+        d = gwb.probe(240.0)
+        d["healthy"] = gwb.healthy(d)
+        d["cycle"] = cycle
+        log(d)
+        exec_ok = d.get("matmul_s", 9) < 0.05
+        h2d_ok = d.get("h2d_mbps", 0) > 300
+        if not (exec_ok or h2d_ok):
+            time.sleep(90)
+            continue
+        py = sys.executable
+        if h2d_ok and exec_ok and stream_goods < stream_goal:
+            out = os.path.join(OUT, f"pounce_stream_c{cycle}.json")
+            rec = run_job("stream", [py, "bench.py", "--stage", "stream",
+                                     "--out", out, "--budget", "280"],
+                          310, out)
+            res = rec.get("result", {})
+            if res.get("stream_realtime_x", 0) >= 50:
+                stream_goods += 1
+            continue
+        if exec_ok and chain_goods < 1:
+            out = os.path.join(OUT, f"pounce_chain_c{cycle}.json")
+            rec = run_job("chain", [py, "bench.py", "--stage", "chain",
+                                    "--out", out, "--budget", "150"],
+                          180, out)
+            if rec.get("result", {}).get("full_chain_msps", 0) > 1000:
+                chain_goods += 1
+            continue
+        if exec_ok and extras:
+            job = extras.pop(0)
+            if job == "chain_scaling":
+                run_job(job, [py, "tools/chain_scaling.py",
+                              "8", "64", "256", "512", "1024"], 600)
+            elif job == "wideband":
+                run_job(job, [py, "tools/wideband_scaling.py",
+                              "4", "8", "16"], 600)
+            elif job == "pp":
+                run_job(job, [py, "tools/pp_breakdown.py", "v2"], 400)
+            elif job == "corpus_seed":
+                run_job(job, [py, "tools/corpus_e2e.py", "--fused", "32",
+                              "--limit", "2"], 700)
+            elif job == "corpus_full":
+                run_job(job, [py, "tools/corpus_e2e.py", "--fused", "32"],
+                        1700)
+            continue
+        if not extras and stream_goods >= stream_goal and chain_goods >= 1:
+            log({"event": "all goals met"})
+            break
+        time.sleep(60)
+    log({"event": "done", "stream_goods": stream_goods,
+         "chain_goods": chain_goods, "extras_left": extras})
+
+
+if __name__ == "__main__":
+    main()
