@@ -25,6 +25,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROBE_SRC = r'''
+# EVERY timed region ends with a RESULT FETCH: block_until_ready can
+# return without waiting on this backend (BENCHMARKS.md round 3; a
+# fetchless probe measured "0.0001 s" for a 137 GFLOP matmul on
+# 2026-08-21 — 1300 TFLOP/s, i.e. the async lie — while the very next
+# stage saw a 24 MB/s wire).
 import json, time
 import numpy as np
 from wenet_tpu.utils.jaxcache import enable_persistent_cache
@@ -33,22 +38,22 @@ import jax, jax.numpy as jnp
 out = {}
 tiny = jax.jit(lambda x: x * 2.0 + 1.0)
 x = jnp.ones((8, 128), jnp.float32)
-tiny(x).block_until_ready()                       # compile (cached)
+np.asarray(tiny(x))                               # compile (cached) + warm
 t0 = time.perf_counter()
 for _ in range(5):
-    tiny(x).block_until_ready()
+    np.asarray(tiny(x))
 out["dispatch_s"] = round((time.perf_counter() - t0) / 5, 5)
 a = np.random.randint(0, 256, 64 << 20, dtype=np.uint8)
-d = jax.device_put(a); d.block_until_ready()
+d = jax.device_put(a); np.asarray(d[-8:])
 t0 = time.perf_counter()
-d = jax.device_put(a); d.block_until_ready()
+d = jax.device_put(a); np.asarray(d[-8:])         # tail fetch: data landed
 out["h2d_mbps"] = round(64 / (time.perf_counter() - t0), 1)
-m = jax.jit(lambda p, q: p @ q)
+m = jax.jit(lambda p, q: jnp.sum(p @ q))          # sum -> tiny honest fetch
 p = jnp.ones((4096, 4096), jnp.bfloat16)
-m(p, p).block_until_ready()                       # compile (cached)
+np.asarray(m(p, p))                               # compile (cached) + warm
 t0 = time.perf_counter()
 for _ in range(3):
-    m(p, p).block_until_ready()
+    np.asarray(m(p, p))
 out["matmul_s"] = round((time.perf_counter() - t0) / 3, 4)
 print(json.dumps(out), flush=True)
 '''
