@@ -380,13 +380,20 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann,
     fract = rx_timing - low.astype(jnp.float32)
     high = low + (fract > 0).astype(jnp.int32)                 # == ceil
     st = (np.arange(Nsym, dtype=np.int32) + 1) * P             # static
-    tl = jnp.zeros((M, Nsym), jnp.complex64)
-    th = jnp.zeros((M, Nsym), jnp.complex64)
-    for k in range(k_lo, k_hi + 1):
-        sel = f_int[:, st + k]
-        tl = tl + jnp.where(low == k, 1.0, 0.0) * sel
-        th = th + jnp.where(high == k, 1.0, 0.0) * sel
-    tv = tl * (1 - fract) + th * fract
+    # one static-window gather + a one-hot contraction, replacing a
+    # 13-iteration select loop (~65 HLO ops -> ~5): low/fract are scalars
+    # per frame, so the interpolation weights collapse to a (13,) vector
+    # w[k] = (1-fract)*[low==k] + fract*[high==k]; the zero terms multiply
+    # to exact 0.0 and the two live terms add exactly as the loop did, so
+    # the rewrite is BIT-EXACT.  Matters because the per-op overhead of
+    # the scan step, not FLOPs, is the demod wall on the target backend
+    # (BENCHMARKS.md round 4).
+    offs = np.arange(k_lo, k_hi + 1, dtype=np.int32)           # (13,) static
+    win = f_int[:, st[:, None] + offs[None, :]]                # (M, Nsym, 13)
+    k_ar = jnp.asarray(offs)
+    w = (jnp.where(k_ar == low, 1.0, 0.0) * (1 - fract)
+         + jnp.where(k_ar == high, 1.0, 0.0) * fract)          # (13,) f32
+    tv = jnp.sum(win * w[None, None, :], axis=-1)
     tmax = jnp.square(tv.real) + jnp.square(tv.imag)           # (M, Nsym)
 
     if M == 2:
