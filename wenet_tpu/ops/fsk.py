@@ -347,11 +347,16 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann,
         np.float32(TWO_PI))
 
     # --- integrate-and-dump at P phases (fsk.c:766-842): window sums of
-    # length Ts at stride Ts/P via cumsum differences
-    csum = jnp.cumsum(d, axis=-1)
-    csum = jnp.concatenate([jnp.zeros((M, 1), csum.dtype), csum], axis=-1)
+    # length Ts at stride Ts/P, as a banded matmul on the MXU — one op
+    # where cumsum + concat + two gathers cost ~26 us/step on the target
+    # backend; numerically this is also the C chain's direct per-window
+    # summation (fsk.c accumulates each integrator independently) rather
+    # than a cumsum difference
     starts = np.arange((Nsym + 1) * P, dtype=np.int32) * S     # static
-    f_int = csum[:, starts + Ts] - csum[:, starts]             # (M, (Nsym+1)P)
+    t_i = jnp.arange(Nmem)[:, None]
+    s_i = jnp.asarray(starts)[None, :]
+    Wsum = ((t_i >= s_i) & (t_i < s_i + Ts)).astype(jnp.float32)
+    f_int = jax.lax.complex(jnp.real(d) @ Wsum, jnp.imag(d) @ Wsum)
 
     # --- fine timing: magic spectral line at Rs (fsk.c:857-884)
     ft1 = jnp.sum(jnp.square(f_int.real) + jnp.square(f_int.imag), axis=0)
@@ -493,11 +498,27 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
     def step(carry, _):
         st = carry[0] if with_eye else carry
         valid = st.pos + st.nin <= n
-        nold = cfg.Nmem - st.nin
-        start = pad_front + st.pos - nold
-        stream = jax.lax.dynamic_slice(buf, (start,), (cfg.Nmem,))
-        new_blocks = jax.lax.dynamic_slice(
-            buf, (pad_front + st.pos,), (cfg.Ndft * cfg.max_fft_blocks,))
+        # ONE per-frame gather instead of two: under vmap (the fused chunk
+        # path) a per-lane-varying dynamic_slice lowers to a gather that
+        # costs ~40 us/step on the target backend (tools/fused_profile.py
+        # --bisect, BENCHMARKS.md round 4).  nin only ever takes
+        # {N - Ts/2, N, N + Ts/2}, so one slack window anchored at the
+        # minimum start covers every case and both the Nmem history window
+        # and the freq-est block become STATIC slices + a 3-way select
+        # (bit-exact: the selected elements are identical).
+        NB = cfg.Ndft * cfg.max_fft_blocks
+        nin_min = cfg.N - cfg.Ts // 2
+        wlen = max(cfg.Ts + cfg.Nmem, cfg.Nmem - nin_min + NB)
+        wb = jax.lax.dynamic_slice(
+            buf, (pad_front + st.pos + (nin_min - cfg.Nmem),), (wlen,))
+        d0 = st.nin - nin_min                        # in {0, Ts//2, Ts}
+        s_a = jax.lax.slice(wb, (0,), (cfg.Nmem,))
+        s_b = jax.lax.slice(wb, (cfg.Ts // 2,), (cfg.Ts // 2 + cfg.Nmem,))
+        s_c = jax.lax.slice(wb, (cfg.Ts,), (cfg.Ts + cfg.Nmem,))
+        stream = jnp.where(d0 == 0, s_a,
+                           jnp.where(d0 == cfg.Ts // 2, s_b, s_c))
+        new_blocks = jax.lax.slice(
+            wb, (cfg.Nmem - nin_min,), (cfg.Nmem - nin_min + NB,))
         if with_eye:
             nst, out, probe = _demod_frame(cfg, st, stream, new_blocks, hann,
                                            with_probe=True)

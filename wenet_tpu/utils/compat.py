@@ -22,24 +22,33 @@ def _dft_tables(n: int):
 
 
 def dft(x, n_out: int | None = None):
-    """Complex DFT along the last axis as two real matmuls.
+    """Complex DFT along the last axis as ONE real matmul.
 
     XLA's FFT custom-call is unavailable on some TPU backends, and for the
     modem's sizes (Ndft <= 1024) a dense DFT *is* the TPU-native choice:
     it runs on the MXU instead of a scalar custom-call, batches freely, and
     matches jnp.fft.fft to f32 roundoff.  `n_out` keeps only the first
     n_out bins (half-spectrum callers skip half the FLOPs).
+
+    The real/imag parts are stacked into a single [xr|xi] @ [[C,S],[-S,C]]
+    product: four small matmuls + two adds collapse to one MXU op (the
+    per-op overhead, not FLOPs, dominates inside the demod scan on the
+    target backend — BENCHMARKS.md round 4); each output is one 2N-term
+    reduction instead of two N-term reductions and an add, within f32
+    roundoff of the previous form.
     """
     N = x.shape[-1]
     C, S = _dft_tables(N)
     if n_out is not None:
         C, S = C[:, :n_out], S[:, :n_out]
+    n_o = C.shape[1]
     Cj, Sj = jnp.asarray(C), jnp.asarray(S)
+    T = jnp.concatenate([jnp.concatenate([Cj, Sj], axis=1),
+                         jnp.concatenate([-Sj, Cj], axis=1)], axis=0)
     xr = jnp.real(x).astype(jnp.float32)
     xi = jnp.imag(x).astype(jnp.float32)
-    yr = xr @ Cj - xi @ Sj
-    yi = xr @ Sj + xi @ Cj
-    return jax.lax.complex(yr, yi)
+    y = jnp.concatenate([xr, xi], axis=-1) @ T
+    return jax.lax.complex(y[..., :n_o], y[..., n_o:])
 
 
 @lru_cache(maxsize=1)
