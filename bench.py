@@ -684,6 +684,11 @@ def stage_stream():
                        got_serial >= push_expected - 2, "push_serial"))
 
     _finish_stream(candidates, cfg)
+    # wire-limited day: the ingest number above is bounded by H2D, not the
+    # program — record the device-resident program-rate bound alongside
+    # (VERDICT r3 #1b asks for program rate + ceiling on degraded days)
+    if RESULTS.get("stream_realtime_x", 0) < 50 and _remaining() > 60:
+        _degraded_stream_program_rate(cfg, raw, n_packets)
     _dispatch_overhead("dispatch_overhead_s")
 
 

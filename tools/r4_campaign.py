@@ -89,7 +89,9 @@ def main():
             rec = run_job("chain", [py, "bench.py", "--stage", "chain",
                                     "--out", out, "--budget", "150"],
                           180, out)
-            if rec.get("result", {}).get("full_chain_msps", 0) > 1000:
+            # honest (fetch-ending) chain rate is ~157 MS/s post-op-golf;
+            # >=150 marks a clean record of the current program
+            if rec.get("result", {}).get("full_chain_msps", 0) >= 150:
                 chain_goods += 1
             continue
         if exec_ok and extras:
