@@ -60,7 +60,7 @@ def main():
     stream_goal = 2
     stream_goods = 0
     chain_goods = 0
-    extras = ["chain_scaling", "wideband", "pp", "corpus_seed", "corpus_full"]
+    extras = ["chain_scaling", "wideband", "pp"]   # corpus: recorded
     for cycle in range(cycles):
         if os.path.exists(os.path.join(OUT, "stop")):
             log({"event": "stop flag"})
@@ -103,7 +103,7 @@ def main():
                 run_job(job, [py, "tools/wideband_scaling.py",
                               "4", "8", "16"], 600)
             elif job == "pp":
-                run_job(job, [py, "tools/pp_breakdown.py", "v2"], 400)
+                run_job(job, [py, "tools/pp_breakdown.py", "v2"], 700)
             elif job == "corpus_seed":
                 run_job(job, [py, "tools/corpus_e2e.py", "--fused", "32",
                               "--limit", "2"], 700)

@@ -46,16 +46,24 @@ def main():
 
     for nch in [int(a) for a in (sys.argv[1:] or ["4", "8", "16"])]:
         fs_total = cfg.Fs * nch
-        # upsample by zero-order linear interp and mix onto each centre
-        dst_t = np.arange(n * nch) / nch
-        i0 = np.minimum(dst_t.astype(np.int64), n - 2)
-        fr = (dst_t - i0).astype(np.float32)
-        nb = ((1 - fr) * sig[i0] + fr * sig[i0 + 1]).astype(np.complex64)
-        t = np.arange(n * nch, dtype=np.float64) / fs_total
-        wide = np.zeros(n * nch, np.complex64)
+        # synthesize each channel NATIVELY at the wideband rate (the exact
+        # integer-phase modulator at Fs_total), then mix to its centre: a
+        # linear-interp upsample leaves sinc^2 images of every channel in
+        # every other channel, which at N=16 fully occupied accumulates
+        # past the decode cliff (round-4 debug: single-occupied-channel
+        # N=16 decoded 3/3 while the all-occupied harness decoded 0/16 —
+        # the harness, not the channelizer, was the failure)
+        import dataclasses as _dc
+        cfg_wide = _dc.replace(cfg, Fs=fs_total)
+        sig_w, _ = fsk.fsk_mod_np(cfg_wide, bits, 2 * cfg.Rs, cfg.Rs)
+        sig_w = sig_w.astype(np.complex64)
+        nw = len(sig_w)
+        t = np.arange(nw, dtype=np.float64) / fs_total
+        centres = channelizer.channel_centres(fs_total, nch)
+        wide = np.zeros(nw, np.complex64)
         for k in range(nch):
-            fc = channelizer.channel_centres(fs_total, nch)[k]
-            wide += (nb * np.exp(2j * np.pi * fc * t)).astype(np.complex64)
+            wide += (sig_w * np.exp(2j * np.pi * centres[k] * t)
+                     ).astype(np.complex64)
         wide = channel.add_awgn(wide, 30.0, fs_total, cfg.Rs,
                                 rng=np.random.default_rng(nch))
 
