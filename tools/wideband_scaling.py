@@ -25,24 +25,30 @@ def main():
     from wenet_tpu.ops import channel, channelizer, fsk, ldpc
 
     cfg = fsk.V2_CONFIG
-    rng = np.random.default_rng(0)
-    frames = []
-    payloads = []
-    for _ in range(12):
-        p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
-        payloads.append(p)
-        frames.append(framing.frame_to_bits(
-            framing.frame_packet(p, ldpc.encode_bytes, "v2"), "v2"))
-        frames.append(rng.integers(0, 2, 512).astype(np.uint8))
-    bits = np.concatenate(
-        [rng.integers(0, 2, cfg.Nbits * 8).astype(np.uint8)] + frames)
-    bits = np.concatenate([bits, np.zeros((-len(bits)) % cfg.Nbits,
-                                          np.uint8)])
-    sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
-    sig = sig.astype(np.complex64)
-    n = len(sig)
-    print(f"burst: {n} samples ({n / cfg.Fs:.2f} s), 12 packets/channel",
-          flush=True)
+
+    def channel_bits(seed):
+        """12 framed packets with INDEPENDENT content per channel: mixing
+        the SAME burst onto every centre makes the wideband sum coherent —
+        a Dirichlet comb that periodically cancels/boosts the envelope
+        (round-4 occupancy bisect: evens-occupied N=16 decoded 0/12 while
+        a contiguous half decoded 12/12 — inverted physics, pure harness
+        artifact).  Independent payloads add incoherently like real
+        multi-payload traffic."""
+        r = np.random.default_rng(seed)
+        frames = []
+        for _ in range(12):
+            p = r.integers(0, 256, 256, dtype=np.uint8).tobytes()
+            frames.append(framing.frame_to_bits(
+                framing.frame_packet(p, ldpc.encode_bytes, "v2"), "v2"))
+            frames.append(r.integers(0, 2, 512).astype(np.uint8))
+        bits = np.concatenate(
+            [r.integers(0, 2, cfg.Nbits * 8).astype(np.uint8)] + frames)
+        return np.concatenate(
+            [bits, np.zeros((-len(bits)) % cfg.Nbits, np.uint8)])
+
+    n_bits = len(channel_bits(0))
+    print(f"burst: {n_bits} bits/channel ({n_bits / cfg.Rs:.2f} s), "
+          "12 packets/channel", flush=True)
 
     for nch in [int(a) for a in (sys.argv[1:] or ["4", "8", "16"])]:
         fs_total = cfg.Fs * nch
@@ -55,17 +61,26 @@ def main():
         # the harness, not the channelizer, was the failure)
         import dataclasses as _dc
         cfg_wide = _dc.replace(cfg, Fs=fs_total)
-        sig_w, _ = fsk.fsk_mod_np(cfg_wide, bits, 2 * cfg.Rs, cfg.Rs)
-        sig_w = sig_w.astype(np.complex64)
-        nw = len(sig_w)
-        t = np.arange(nw, dtype=np.float64) / fs_total
         centres = channelizer.channel_centres(fs_total, nch)
-        wide = np.zeros(nw, np.complex64)
+        wide = None
         for k in range(nch):
+            sig_w, _ = fsk.fsk_mod_np(cfg_wide, channel_bits(100 + k),
+                                      2 * cfg.Rs, cfg.Rs)
+            sig_w = sig_w.astype(np.complex64)
+            if wide is None:       # all channels share one frame count, so
+                nw = len(sig_w)    # every sig_w has the same length
+                t = np.arange(nw, dtype=np.float64) / fs_total
+                wide = np.zeros(nw, np.complex64)
             wide += (sig_w * np.exp(2j * np.pi * centres[k] * t)
                      ).astype(np.complex64)
-        wide = channel.add_awgn(wide, 30.0, fs_total, cfg.Rs,
-                                rng=np.random.default_rng(nch))
+        # add_awgn sizes N0 from the TOTAL signal power, which here is
+        # nch coherently-added channels: without compensation the
+        # per-channel Eb/N0 is (requested - 10log10(nch)) — at N=8 that
+        # accidentally landed ~9.5 dB (the cliff) and at N=16 ~6 dB
+        # (below it), which is why earlier runs decoded 8/8 then 0/16.
+        # +10log10(nch) makes the REQUESTED figure the per-channel truth.
+        wide = channel.add_awgn(wide, 30.0 + 10 * np.log10(nch), fs_total,
+                                cfg.Rs, rng=np.random.default_rng(nch))
 
         t0 = time.perf_counter()
         out = channelizer.demod_multichannel(wide, fs_total, nch, cfg,

@@ -43,18 +43,28 @@ def channelize(iq: jnp.ndarray, n_channels: int,
     N = n_channels
     h = jnp.asarray(prototype_lowpass(N, taps_per_phase))
     n = (iq.shape[0] // N) * N
-    x = iq[:n].reshape(-1, N)                     # (frames, N)
-    # polyphase decomposition: phase p gets taps h[p::N] over the frame axis
-    hp = h.reshape(taps_per_phase, N)             # (T, N)
-    # filter along the frame axis per phase: y[m, p] = sum_t x[m-t, p]*hp[t, p]
-    xp = jnp.pad(x, ((taps_per_phase - 1, 0), (0, 0)))
+    x = iq[:n].reshape(-1, N)                     # x[m, p] = iq[m*N + p]
+    # textbook polyphase commutator: channel k decimated is
+    #   z_k[m] = sum_tau h[tau] x[mN - tau] e^{+2pi i k tau / N}
+    # with tau = s*N + p, so phase p consumes x[mN - p] — the COLUMN-
+    # REVERSED frame with a one-frame delay for p >= 1, NOT x[mN + p].
+    # (The previous +p ordering broke alias cancellation: a tone inside
+    # one channel leaked at only -12 dB into the rest, and an FSK burst
+    # split its power ~equally between its own channel and the next —
+    # round-4 wideband debug.)
+    xf0 = x[:, :1]                                # phase 0: x[mN]
+    xrev = x[:, :0:-1]                            # columns N-1 .. 1
+    xdel = jnp.pad(xrev, ((1, 0), (0, 0)))[:-1]   # one-frame delay
+    xf = jnp.concatenate([xf0, xdel], axis=1)     # xf[m, p] = x[mN - p]
+    hp = h.reshape(taps_per_phase, N)             # hp[s, p] = h[s*N + p]
+    # filter along frames per phase: y[m, p] = sum_s hp[s, p] xf[m-s, p]
+    xp = jnp.pad(xf, ((taps_per_phase - 1, 0), (0, 0)))
     idx = jnp.arange(x.shape[0])[:, None] + jnp.arange(taps_per_phase)[None, :]
     windows = xp[idx]                             # (frames, T, N)
     y = jnp.einsum("mtp,tp->mp", windows, hp[::-1])
-    # DFT across phases -> channels (channel k centred at +k*Fs/N: the
-    # per-phase time offset +p/Fs makes the forward DFT the right convention
-    # for this phase ordering)
+    # sum_p y[m,p] e^{+2pi i kp/N} == DFT(y) evaluated at bin (-k) mod N
     chans = compat.dft(y)                         # (frames, N)
+    chans = chans[:, (-jnp.arange(N)) % N]
     return jnp.swapaxes(chans, 0, 1).astype(jnp.complex64)
 
 
