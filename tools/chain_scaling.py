@@ -30,22 +30,34 @@ def main():
     bits = np.concatenate([bits, np.zeros((-len(bits)) % cfg.Nbits, np.uint8)])
     sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
     var = float(np.mean(np.abs(sig) ** 2))
-    sig_j = jnp.asarray(sig.astype(np.complex64))
+    # complex64 H2D is unsupported on the axon backend (the reason
+    # utils/compat.put_complex exists); a direct jnp.asarray(complex)
+    # enqueues an async UNIMPLEMENTED that only surfaces at the first
+    # result fetch — which the old fetchless timing never did
+    from wenet_tpu.utils import compat
+    sig_j = compat.put_complex(sig.astype(np.complex64))
     nf = cfg.num_frames(len(sig))
+
+    from wenet_tpu.ops import deframe
 
     @jax.jit
     def chain(sig, keys, ebno_db):
+        # the FULL chain (demod -> UW top-k deframe -> LDPC -> CRC), same
+        # program shape as bench.py's stage_chain: the demod-only variant
+        # returning a f32 soft-sum hit a deterministic axon-backend
+        # UNIMPLEMENTED on its result fetch (3 runs across hours, while
+        # this form runs fine), and the full chain is the more meaningful
+        # scaling object anyway.  Timed regions END with the (B,) int32
+        # fetch — block_until_ready alone can return without waiting.
         def one(k, e):
             nvar = var * cfg.Fs / (cfg.Rs * 10.0 ** (e / 10.0))
             z = jax.random.normal(k, (sig.shape[0], 2), jnp.float32)
             iq = sig + jnp.sqrt(nvar / 2) * jax.lax.complex(z[:, 0], z[:, 1])
             iq = iq / jnp.max(jnp.abs(iq))
             _, outs = fsk.demod_stream(cfg, iq, nf)
-            # tiny reduction: timed regions must END with a RESULT FETCH
-            # (block_until_ready can return without waiting on this
-            # backend, BENCHMARKS.md round 3 — the "418 GS/s" bogus mode);
-            # the sum forces the full demod while keeping D2H to (B,) f32
-            return jnp.sum(outs.soft)
+            _, ok, _, _ = deframe.deframe_topk(
+                outs.soft.reshape(-1), mode="v2", k=12)
+            return jnp.sum(ok.astype(jnp.int32))
         return jax.vmap(one)(keys, ebno_db)
 
     for B in [int(a) for a in (sys.argv[1:] or ["8", "16", "32", "64"])]:
