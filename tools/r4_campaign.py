@@ -60,7 +60,7 @@ def main():
     stream_goal = 2
     stream_goods = 0
     chain_goods = 0
-    extras = ["chain_scaling", "wideband", "pp"]   # corpus: recorded
+    extras = []   # all extras recorded (corpus, wideband, pp, scaling)
     for cycle in range(cycles):
         if os.path.exists(os.path.join(OUT, "stop")):
             log({"event": "stop flag"})
