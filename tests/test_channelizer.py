@@ -117,3 +117,25 @@ def test_wideband_cli(tmp_path):
     assert rc == 0
     logs = list((tmp_path / "logs").glob("*text*"))
     assert logs and "wideband channel three" in logs[0].read_text()
+
+
+def test_channelizer_adjacent_channel_rejection():
+    """Regression for the polyphase commutator bug (round 4): the analysis
+    filterbank must reject out-of-channel tones by the prototype's stopband
+    (measured -62..-77 dB after the fix), not the -12..-22 dB the x[mN+p]
+    phase ordering gave — which split an FSK burst's power ~equally between
+    its own channel and the next and broke fully-occupied wideband decode."""
+    import jax.numpy as jnp
+    N = 8
+    Fs = 96000 * N
+    n = N * 4096
+    t = np.arange(n) / Fs
+    centres = channelizer.channel_centres(Fs, N)
+    # tone 100 kHz above channel 2's centre: inside channel 2
+    tone = np.exp(2j * np.pi * (centres[2] + 10000) * t).astype(np.complex64)
+    chans = np.asarray(channelizer.channelize(jnp.asarray(tone), N))
+    p = 10 * np.log10(np.mean(np.abs(chans) ** 2, axis=1) + 1e-15)
+    assert p[2] > -1.5, f"in-channel tone attenuated: {p[2]:.1f} dB"
+    others = np.delete(p, 2)
+    assert others.max() < p[2] - 45, (
+        f"leakage only {p[2] - others.max():.1f} dB below in-channel")
