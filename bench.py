@@ -416,7 +416,7 @@ def _degraded_stream_program_rate(cfg, raw, n_packets):
     def put():
         try:
             d = jax.device_put(np.ascontiguousarray(data))
-            d.block_until_ready()
+            np.asarray(d[-4:])      # block_until_ready lies on device_put
             box["d"] = d
             done.set()
         except Exception:
@@ -538,11 +538,14 @@ def stage_stream():
     #   separate status key records a stall
 
     def _h2d_probe():
+        # block_until_ready LIES for device_put as well (measured: a
+        # "0.18 s" 182 MB put whose data actually arrived during the next
+        # call): end with a tail fetch, which requires the whole buffer
         d = jax.device_put(raw)
-        d.block_until_ready()
+        np.asarray(d[-8:])
         t0 = time.perf_counter()
         d = jax.device_put(raw)
-        d.block_until_ready()
+        np.asarray(d[-8:])
         RESULTS["h2d_mbps"] = round(
             len(raw) / (time.perf_counter() - t0) / 1e6, 0)
         # hard ceiling the tunnel imposes on ANY real-ingest path: the cu8

@@ -60,7 +60,7 @@ def main():
     k = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
     t0 = time.perf_counter()
     d = jax.device_put(np.ascontiguousarray(data))
-    d.block_until_ready()
+    np.asarray(d[-4:])              # block_until_ready lies on device_put
     emit({"stage": "h2d", "h2d_s": round(time.perf_counter() - t0, 2),
           "chunks": nc})
     sj, kj = jnp.asarray(starts), jnp.asarray(skips)

@@ -109,7 +109,7 @@ def main():
                              P._fused_unroll(None))
         t0 = time.perf_counter()
         d = jax.device_put(np.ascontiguousarray(data))
-        d.block_until_ready()
+        np.asarray(d[-4:])          # block_until_ready lies on device_put
         h2d_s = time.perf_counter() - t0
         sj, kj = jnp.asarray(starts), jnp.asarray(skips)
         t0 = time.perf_counter()
