@@ -67,7 +67,10 @@ def _checkpoint():
     killed at its budget still lands everything it measured."""
     if OUT_PATH is None:
         return
-    tmp = OUT_PATH + ".tmp"
+    # thread-unique temp name: daemon probe threads (_h2d_probe) may
+    # checkpoint concurrently with the main thread; a shared .tmp could
+    # interleave writes and land torn JSON via os.replace
+    tmp = f"{OUT_PATH}.{threading.get_ident()}.tmp"
     with open(tmp, "w") as f:
         json.dump(RESULTS, f)
     os.replace(tmp, OUT_PATH)
@@ -200,6 +203,58 @@ def decodable_packets(n_bits: int, n_packets: int,
     lead + i*cycle + FRAME_BITS))."""
     fit = (n_bits - lead_bits - FRAME_BITS_V2) // PKT_CYCLE_V2 + 1
     return max(0, min(n_packets, fit))
+
+
+def stream_capture(secs: float, ebno_db: float = 12.0, seed: int = 3):
+    """The deterministic bench ingest capture: (raw cu8 bytes, n_packets).
+
+    THE canonical builder+disk-cache — tools/stream_tune.py and
+    tools/fused_profile.py call this so tuning measures EXACTLY the bench
+    bytes (ADVICE r4: the key recipe was previously copy-pasted).  The
+    cache key covers every input to the bytes: rates, ebno, seed, and a
+    hash of the generator sources, so edits can never silently reuse a
+    stale capture.
+    """
+    import hashlib
+    import inspect
+    from wenet_tpu.ops import channel as _chan
+    from wenet_tpu.ops import fsk
+    cfg = fsk.V2_CONFIG
+    rng = np.random.default_rng(seed)
+    n_bits = int(secs * cfg.Rs)
+    n_packets = max((n_bits - LEAD_BITS) // PKT_CYCLE_V2 - 1, 1)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    gen_fp = hashlib.sha1(
+        (f"{ebno_db}_{LEAD_BITS}_" +
+         inspect.getsource(make_packet_bits) +
+         inspect.getsource(fsk.fsk_mod_np) +
+         inspect.getsource(_chan.add_awgn) +
+         inspect.getsource(fsk.iq_to_cu8)).encode()).hexdigest()[:10]
+    cap_path = os.path.join(
+        cache_dir,
+        f"stream_cap_{int(secs)}s_{cfg.Fs}_{cfg.Rs}_seed{seed}_{gen_fp}.npy")
+    if os.path.exists(cap_path):
+        try:
+            return np.load(cap_path), n_packets
+        except Exception:
+            pass
+    bits = make_packet_bits(cfg, n_packets, rng)
+    sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
+    from wenet_tpu.ops import channel
+    iq = channel.add_awgn(sig.astype(np.complex64), ebno_db, cfg.Fs,
+                          cfg.Rs, rng=rng)
+    del sig
+    raw = fsk.iq_to_cu8(iq / np.abs(iq).max())
+    del iq
+    try:
+        tmp = f"{cap_path}.{os.getpid()}.tmp.npy"
+        np.save(tmp, raw)
+        os.replace(tmp, cap_path)
+    except Exception:
+        pass
+    return raw, n_packets
 
 
 @_stage("chain")
@@ -476,53 +531,14 @@ def stage_stream():
     # is ~1 s on a healthy backend but was measured eating 190-320 s of
     # the stage budget in compile/warmup on degraded days (bench_runs/
     # 2026-08-20) — and the ingest contract starts from host bytes anyway.
-    rng = np.random.default_rng(3)
-    n_bits = int(secs * cfg.Rs)
-    pkt_cycle = PKT_CYCLE_V2
-    n_packets = max((n_bits - LEAD_BITS) // pkt_cycle - 1, 1)
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    # cache key covers EVERY input to the generated bytes (ADVICE r3):
-    # ebno + a hash of the generator code itself, so editing the noise
-    # level or the signal-generation path can never silently reuse a
-    # stale capture against new decode code
-    import hashlib
-    import inspect
-    from wenet_tpu.ops import channel as _chan
-    gen_fp = hashlib.sha1(
-        (f"{ebno_db}_{LEAD_BITS}_" +
-         inspect.getsource(make_packet_bits) +
-         inspect.getsource(fsk.fsk_mod_np) +
-         inspect.getsource(_chan.add_awgn) +
-         inspect.getsource(fsk.iq_to_cu8)).encode()).hexdigest()[:10]
-    cap_path = os.path.join(
-        cache_dir,
-        f"stream_cap_{int(secs)}s_{cfg.Fs}_{cfg.Rs}_seed3_{gen_fp}.npy")
+    # ---- capture via the canonical shared builder (bench.stream_capture:
+    # keyed cache covering rates + ebno + generator-source hash; also used
+    # by tools/stream_tune.py and tools/fused_profile.py so tuning runs
+    # measure EXACTLY these bytes)
     t0 = time.perf_counter()
-    raw = None
-    if os.path.exists(cap_path):
-        try:
-            raw = np.load(cap_path)
-            RESULTS["stream_capture_cached"] = True
-        except Exception:
-            raw = None
-    if raw is None:
-        bits = make_packet_bits(cfg, n_packets, rng)
-        RESULTS["stream_bits_built"] = True     # forensics checkpoint
-        _checkpoint()
-        from wenet_tpu.ops import channel
-        sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
-        iq = channel.add_awgn(sig.astype(np.complex64), ebno_db, cfg.Fs,
-                              cfg.Rs, rng=rng)
-        del sig
-        raw = fsk.iq_to_cu8(iq / np.abs(iq).max())
-        del iq
-        try:
-            np.save(cap_path + ".tmp.npy", raw)
-            os.replace(cap_path + ".tmp.npy", cap_path)
-        except Exception:
-            pass
+    raw, n_packets = stream_capture(secs, ebno_db)
+    RESULTS["stream_capture_cached"] = bool(
+        time.perf_counter() - t0 < 20.0)     # regen takes ~45-100 s
     RESULTS["stream_capture_gen_s"] = round(time.perf_counter() - t0, 1)
     n_samples = len(raw) // 2
     RESULTS["stream_capture_s"] = round(n_samples / cfg.Fs, 1)
@@ -580,6 +596,9 @@ def stage_stream():
         _degraded_stream_program_rate(cfg, raw, n_packets)
         if not h2d_done.is_set():
             _finish_stream(candidates, cfg)
+            # wire-limited records must still self-describe the tunnel
+            # floor so stream_program_* can be read against it
+            _dispatch_overhead("dispatch_overhead_s")
             return
 
     # ---- fused ONE-dispatch path (the production file/batch ingest)

@@ -87,3 +87,39 @@ def test_v1_flight_rate_per_curve_golden():
         rx = Receiver(mode="v1")
         got = len(rx.decode_iq(fsk.iq_from_cu8(raw)))
         assert lo <= got <= hi, (ebno, got)
+
+
+def test_odd_ts_config_with_clock_offset():
+    """Regression for the one-gather window select (round 4): nin's
+    elastic offsets are 0 / Ts//2 / 2*(Ts//2) — for ODD Ts (e.g. the
+    GQRX-style 48 kHz path, Ts=5) the max offset is Ts-1, and slicing at
+    Ts shifted every post-excursion frame's window by one sample.  A
+    +0.3% clock offset forces nin excursions; the packet must still
+    decode (reference tolerance: 0.3% barely affected,
+    benchmarking/README.md:94-172)."""
+    cfg = fsk.FSKConfig(Fs=48000, Rs=9600)
+    assert cfg.Ts % 2 == 1, "test requires an odd-Ts geometry"
+    rng = np.random.default_rng(7)
+    payloads, bits = [], [rng.integers(0, 2, cfg.Nbits * 6).astype(np.uint8)]
+    for _ in range(3):
+        p = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+        payloads.append(p)
+        bits.append(framing.frame_to_bits(
+            framing.frame_packet(p, ldpc.encode_bytes, "v2"), "v2"))
+        bits.append(rng.integers(0, 2, 400).astype(np.uint8))
+    stream = np.concatenate(bits)
+    stream = np.concatenate(
+        [stream, np.zeros((-len(stream)) % cfg.Nbits, np.uint8)])
+    # tones at Rs and 2*Rs: both inside the estimator band for Fs=5*Rs
+    # (f1=2*Rs would put the upper tone at 3*Rs, beyond est_max=Fs/2)
+    sig, _ = fsk.fsk_mod_np(cfg, stream, cfg.Rs, cfg.Rs)
+    # +0.3% clock offset via linear resample (tsrc's role in the
+    # reference's baud-offset benchmark)
+    n = len(sig)
+    src_t = np.arange(int(n / 1.003)) * 1.003
+    i0 = np.minimum(src_t.astype(np.int64), n - 2)
+    fr = (src_t - i0).astype(np.float32)
+    off = ((1 - fr) * sig[i0] + fr * sig[i0 + 1]).astype(np.complex64)
+    got = Receiver(mode="v2", cfg=cfg).decode_iq(0.5 * off)
+    assert len(got) >= 2, f"only {len(got)}/3 packets at 0.3% clock offset"
+    assert set(got) <= set(payloads)

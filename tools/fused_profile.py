@@ -45,13 +45,9 @@ def main():
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
 
+    import bench
     cfg = fsk.V2_CONFIG
-    caps = sorted(
-        p for p in os.listdir(os.path.join(repo, ".jax_cache"))
-        if p.startswith(f"stream_cap_{int(args.secs)}s_{cfg.Fs}_{cfg.Rs}_")
-        and p.endswith(".npy"))
-    assert caps, "run tools/stream_tune.py first to build the capture"
-    raw = np.load(os.path.join(repo, ".jax_cache", caps[-1]))
+    raw, _ = bench.stream_capture(args.secs)   # canonical shared builder
 
     nc = args.chunks
     data, n, fmt = P._normalize_fused_input(raw, "cu8")
@@ -143,12 +139,9 @@ def bisect(chunks=32, reps=2, secs=95.0):
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
 
+    import bench
     cfg = fsk.V2_CONFIG
-    caps = sorted(
-        p for p in os.listdir(os.path.join(repo, ".jax_cache"))
-        if p.startswith(f"stream_cap_{int(secs)}s_{cfg.Fs}_{cfg.Rs}_")
-        and p.endswith(".npy"))
-    raw = np.load(os.path.join(repo, ".jax_cache", caps[-1]))
+    raw, _ = bench.stream_capture(secs)        # canonical shared builder
     data, n, fmt = P._normalize_fused_input(raw, "cu8")
     syms_pp, chunk_len, starts, skips = P._fused_geometry(
         cfg, "v2", n, chunks, 8)
@@ -311,6 +304,13 @@ def bisect(chunks=32, reps=2, secs=95.0):
 
 if __name__ == "__main__":
     if "--bisect" in sys.argv:
-        bisect()
+        _ap = argparse.ArgumentParser()
+        _ap.add_argument("--bisect", action="store_true")
+        _ap.add_argument("--chunks", type=int, default=32)
+        _ap.add_argument("--reps", type=int, default=2)
+        _ap.add_argument("--secs", type=float, default=95.0)
+        _ap.add_argument("--skips", default=None)
+        _a = _ap.parse_args()
+        bisect(chunks=_a.chunks, reps=_a.reps, secs=_a.secs)
     else:
         main()

@@ -70,7 +70,7 @@ def main():
     B, R = args.streams, args.rounds
     k = args.k or n_packets
     ebnos = jnp.linspace(args.ebno_min, args.ebno_max, B)
-    pkt_cycle = 343 * 8 + 512
+    pkt_cycle = bench.PKT_CYCLE_V2
 
     @jax.jit
     def chain(sig, keys, ebno_db):

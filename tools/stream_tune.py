@@ -60,36 +60,10 @@ def main():
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
 
-    # the exact bench capture (disk-cached by the keyed name)
+    # the exact bench capture via the canonical shared builder
     cfg = fsk.V2_CONFIG
-    os.environ.setdefault("WENET_BENCH_STREAM_SECS", str(args.secs))
-    # reuse stage_stream's cached capture by regenerating with its params
-    rng = np.random.default_rng(3)
-    n_bits = int(args.secs * cfg.Rs)
-    n_packets = max((n_bits - bench.LEAD_BITS) // bench.PKT_CYCLE_V2 - 1, 1)
-    import hashlib
-    import inspect
-    from wenet_tpu.ops import channel as _chan
-    gen_fp = hashlib.sha1(
-        (f"12.0_{bench.LEAD_BITS}_" +
-         inspect.getsource(bench.make_packet_bits) +
-         inspect.getsource(fsk.fsk_mod_np) +
-         inspect.getsource(_chan.add_awgn) +
-         inspect.getsource(fsk.iq_to_cu8)).encode()).hexdigest()[:10]
-    cap = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache",
-        f"stream_cap_{int(args.secs)}s_{cfg.Fs}_{cfg.Rs}_seed3_{gen_fp}.npy")
     t0 = time.perf_counter()
-    if os.path.exists(cap):
-        raw = np.load(cap)
-    else:
-        bits = bench.make_packet_bits(cfg, n_packets, rng)
-        sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
-        iq = _chan.add_awgn(sig.astype(np.complex64), 12.0, cfg.Fs, cfg.Rs,
-                            rng=rng)
-        raw = fsk.iq_to_cu8(iq / np.abs(iq).max())
-        np.save(cap + f".{os.getpid()}.tmp.npy", raw)
-        os.replace(cap + f".{os.getpid()}.tmp.npy", cap)
+    raw, n_packets = bench.stream_capture(args.secs)
     n_samples = len(raw) // 2
     print(f"capture ready ({time.perf_counter()-t0:.1f}s, "
           f"{n_samples/cfg.Fs:.1f}s, {n_packets} packets)", flush=True)

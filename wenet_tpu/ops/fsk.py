@@ -356,7 +356,11 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann,
     t_i = jnp.arange(Nmem)[:, None]
     s_i = jnp.asarray(starts)[None, :]
     Wsum = ((t_i >= s_i) & (t_i < s_i + Ts)).astype(jnp.float32)
-    f_int = jax.lax.complex(jnp.real(d) @ Wsum, jnp.imag(d) @ Wsum)
+    # HIGHEST precision: TPU matmuls default to bf16-truncated inputs,
+    # which would silently degrade the integrators near the decode cliff
+    f_int = jax.lax.complex(
+        jnp.matmul(jnp.real(d), Wsum, precision=jax.lax.Precision.HIGHEST),
+        jnp.matmul(jnp.imag(d), Wsum, precision=jax.lax.Precision.HIGHEST))
 
     # --- fine timing: magic spectral line at Rs (fsk.c:857-884)
     ft1 = jnp.sum(jnp.square(f_int.real) + jnp.square(f_int.imag), axis=0)
@@ -507,16 +511,19 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
         # and the freq-est block become STATIC slices + a 3-way select
         # (bit-exact: the selected elements are identical).
         NB = cfg.Ndft * cfg.max_fft_blocks
-        nin_min = cfg.N - cfg.Ts // 2
-        wlen = max(cfg.Ts + cfg.Nmem, cfg.Nmem - nin_min + NB)
+        half_ts = cfg.Ts // 2                 # elastic-nin step (fsk.c:898)
+        nin_min = cfg.N - half_ts
+        # offsets are 0 / half_ts / 2*half_ts — NOT Ts: for odd Ts (e.g.
+        # the GQRX 48 kHz config, Ts=5) 2*(Ts//2) = Ts-1
+        wlen = max(2 * half_ts + cfg.Nmem, cfg.Nmem - nin_min + NB)
         wb = jax.lax.dynamic_slice(
             buf, (pad_front + st.pos + (nin_min - cfg.Nmem),), (wlen,))
-        d0 = st.nin - nin_min                        # in {0, Ts//2, Ts}
+        d0 = st.nin - nin_min                 # in {0, half_ts, 2*half_ts}
         s_a = jax.lax.slice(wb, (0,), (cfg.Nmem,))
-        s_b = jax.lax.slice(wb, (cfg.Ts // 2,), (cfg.Ts // 2 + cfg.Nmem,))
-        s_c = jax.lax.slice(wb, (cfg.Ts,), (cfg.Ts + cfg.Nmem,))
+        s_b = jax.lax.slice(wb, (half_ts,), (half_ts + cfg.Nmem,))
+        s_c = jax.lax.slice(wb, (2 * half_ts,), (2 * half_ts + cfg.Nmem,))
         stream = jnp.where(d0 == 0, s_a,
-                           jnp.where(d0 == cfg.Ts // 2, s_b, s_c))
+                           jnp.where(d0 == half_ts, s_b, s_c))
         new_blocks = jax.lax.slice(
             wb, (cfg.Nmem - nin_min,), (cfg.Nmem - nin_min + NB,))
         if with_eye:

@@ -351,19 +351,23 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
                         input_format, _fused_unroll(scan_unroll))
-    data_j = jnp.asarray(data)
-    starts_j, skips_j = jnp.asarray(starts), jnp.asarray(skips)
     if mesh is not None:
         # export artifacts are not sharding-specialized: use the pristine
-        # jitted program so XLA partitions it for THIS mesh
+        # jitted program so XLA partitions it for THIS mesh.  device_put
+        # the NUMPY arrays directly with their target shardings — going
+        # through jnp.asarray first would pay the (bottleneck) H2D wire
+        # twice for the full capture
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         if isinstance(fn, _jaxcache._ExportCachedJit):
             fn = fn.fn
         ax = mesh.axis_names[0]
-        data_j = jax.device_put(data_j, NamedSharding(mesh, P()))
-        starts_j = jax.device_put(starts_j, NamedSharding(mesh, P(ax)))
-        skips_j = jax.device_put(skips_j, NamedSharding(mesh, P(ax)))
+        data_j = jax.device_put(data, NamedSharding(mesh, P()))
+        starts_j = jax.device_put(starts, NamedSharding(mesh, P(ax)))
+        skips_j = jax.device_put(skips, NamedSharding(mesh, P(ax)))
+    else:
+        data_j = jnp.asarray(data)
+        starts_j, skips_j = jnp.asarray(starts), jnp.asarray(skips)
     packed = np.asarray(fn(data_j, starts_j, skips_j))
     return _dedup_payloads(_unpack_fused(packed, starts, cfg), syms_pp)
 

@@ -47,7 +47,10 @@ def dft(x, n_out: int | None = None):
                          jnp.concatenate([-Sj, Cj], axis=1)], axis=0)
     xr = jnp.real(x).astype(jnp.float32)
     xi = jnp.imag(x).astype(jnp.float32)
-    y = jnp.concatenate([xr, xi], axis=-1) @ T
+    # HIGHEST precision: TPU matmul defaults truncate toward bf16, which
+    # would quietly degrade the tone estimator and channelizer DFTs
+    y = jnp.matmul(jnp.concatenate([xr, xi], axis=-1), T,
+                   precision=jax.lax.Precision.HIGHEST)
     return jax.lax.complex(y[..., :n_o], y[..., n_o:])
 
 
