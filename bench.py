@@ -72,7 +72,9 @@ def _checkpoint():
     # interleave writes and land torn JSON via os.replace
     tmp = f"{OUT_PATH}.{threading.get_ident()}.tmp"
     with open(tmp, "w") as f:
-        json.dump(RESULTS, f)
+        # snapshot: daemon probe threads mutate RESULTS concurrently, and
+        # iterating the live dict mid-insert raises RuntimeError (ADVICE r4)
+        json.dump(dict(RESULTS), f)
     os.replace(tmp, OUT_PATH)
 
 
@@ -205,8 +207,11 @@ def decodable_packets(n_bits: int, n_packets: int,
     return max(0, min(n_packets, fit))
 
 
-def stream_capture(secs: float, ebno_db: float = 12.0, seed: int = 3):
+def stream_capture(secs: float, ebno_db: float = 12.0, seed: int = 3,
+                   with_cache_flag: bool = False):
     """The deterministic bench ingest capture: (raw cu8 bytes, n_packets).
+    With with_cache_flag, returns (raw, n_packets, was_cached) — the ground
+    truth for the bench record instead of a wall-time heuristic (ADVICE r4).
 
     THE canonical builder+disk-cache — tools/stream_tune.py and
     tools/fused_profile.py call this so tuning measures EXACTLY the bench
@@ -237,7 +242,8 @@ def stream_capture(secs: float, ebno_db: float = 12.0, seed: int = 3):
         f"stream_cap_{int(secs)}s_{cfg.Fs}_{cfg.Rs}_seed{seed}_{gen_fp}.npy")
     if os.path.exists(cap_path):
         try:
-            return np.load(cap_path), n_packets
+            cap = np.load(cap_path)
+            return (cap, n_packets, True) if with_cache_flag else (cap, n_packets)
         except Exception:
             pass
     bits = make_packet_bits(cfg, n_packets, rng)
@@ -254,7 +260,7 @@ def stream_capture(secs: float, ebno_db: float = 12.0, seed: int = 3):
         os.replace(tmp, cap_path)
     except Exception:
         pass
-    return raw, n_packets
+    return (raw, n_packets, False) if with_cache_flag else (raw, n_packets)
 
 
 @_stage("chain")
@@ -536,9 +542,9 @@ def stage_stream():
     # by tools/stream_tune.py and tools/fused_profile.py so tuning runs
     # measure EXACTLY these bytes)
     t0 = time.perf_counter()
-    raw, n_packets = stream_capture(secs, ebno_db)
-    RESULTS["stream_capture_cached"] = bool(
-        time.perf_counter() - t0 < 20.0)     # regen takes ~45-100 s
+    raw, n_packets, was_cached = stream_capture(secs, ebno_db,
+                                                with_cache_flag=True)
+    RESULTS["stream_capture_cached"] = bool(was_cached)
     RESULTS["stream_capture_gen_s"] = round(time.perf_counter() - t0, 1)
     n_samples = len(raw) // 2
     RESULTS["stream_capture_s"] = round(n_samples / cfg.Fs, 1)

@@ -40,7 +40,11 @@ RX_FLOW="${RX_FLOW:-IQ}"                # IQ | GQRX | SSB (start_rx.sh:118-150)
 
 # plain strings, not arrays: bash 3.2 + `set -u` chokes on empty-array
 # expansion even with the ${arr[@]+...} guard in some point releases; the
-# values here are numeric flags with no spaces, so word splitting is safe
+# values here are numeric flags with no spaces, so word splitting is safe.
+# GAIN must therefore be a single numeric token (rtl_sdr takes one dB value)
+case "$GAIN" in
+    ''|*[!0-9.]*) echo "GAIN must be numeric (got '$GAIN')" >&2; exit 1 ;;
+esac
 GAIN_ARGS=""
 if [ "$GAIN" != "0" ]; then GAIN_ARGS="-g $GAIN"; fi
 if [ "$BIAS" = "1" ]; then GAIN_ARGS="$GAIN_ARGS -T"; fi

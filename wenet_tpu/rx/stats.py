@@ -114,7 +114,12 @@ def receiver_stats_record(rx) -> dict:
     """Build an fsk_demod-compatible stats record from a live Receiver —
     the `--stats` JSON of fsk_demod.c:345-401, INCLUDING the eye-diagram
     traces (fsk_demod.c:366-377) from the last demodulated frame's
-    integrator outputs."""
+    integrator outputs.
+
+    Note: since round 3 the eye data requires opting in — construct the
+    Receiver with `with_eye=True` (the default False keeps the decode hot
+    path free of the per-frame eye-probe select); without it the record
+    simply omits `eye_diagram`."""
     st = rx.state
     if st is None:
         return {}
