@@ -293,6 +293,9 @@ def stage_chain(reps=2):
     # 212 GS/s @ B>=256); R rounds amortize per-dispatch tunnel latency
     B = int(os.environ.get("WENET_BENCH_STREAMS", "256"))
     R = int(os.environ.get("WENET_BENCH_CHAIN_ROUNDS", "16"))
+    # frames per scan step (bit-exact; amortizes the per-lane window
+    # gather F-fold — r5 scan-cost work)
+    FSTEP = int(os.environ.get("WENET_CHAIN_FSTEP", "8"))
     ebnos = jnp.linspace(8.0, 15.0, B)
 
     @jax.jit
@@ -309,7 +312,7 @@ def stage_chain(reps=2):
             z = jax.random.normal(k, (sig.shape[0], 2), jnp.float32)
             iq = sig + jnp.sqrt(nvar / 2) * jax.lax.complex(z[:, 0], z[:, 1])
             iq = iq / jnp.max(jnp.abs(iq))
-            _, outs = fsk.demod_stream(cfg, iq, nf)
+            _, outs = fsk.demod_stream(cfg, iq, nf, frames_per_step=FSTEP)
             _, ok, _, _ = deframe.deframe_topk(
                 outs.soft.reshape(-1), mode="v2", k=n_packets)
             return jnp.sum(ok.astype(jnp.int32))
@@ -336,7 +339,7 @@ def stage_chain(reps=2):
         extra_files=(os.path.abspath(__file__),))   # stale-guard: keyed to
     exp_path = os.path.join(                        # bench+package sources
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
-        f"chain_export_{plat}_B{B}_R{R}_{fp}.jaxexp")
+        f"chain_export_{plat}_B{B}_R{R}_F{FSTEP}_{fp}.jaxexp")
     t0 = time.perf_counter()
     lowered = None
     if os.path.exists(exp_path):
@@ -470,7 +473,7 @@ def _degraded_stream_program_rate(cfg, raw, n_packets):
     nf = cfg.num_frames(chunk_len)
     k = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
     fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt,
-                          P._fused_unroll(None))
+                          P._fused_unroll(None), P._fused_fstep(None))
     box = {}
     done = threading.Event()
 

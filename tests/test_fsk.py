@@ -165,6 +165,41 @@ def test_demod_stream_resumable():
     np.testing.assert_allclose(joined[:n], soft_all[:n], rtol=1e-4, atol=1e-3)
 
 
+def test_demod_multi_frame_step_bit_exact():
+    """frames_per_step > 1 is a pure codegen knob: every decision-path
+    output (soft, bits, valid, f_est, norm_rx_timing, nin) must be
+    BIT-EXACT vs the single-frame scan, across all three elastic-nin
+    values.  ppm (a pure output stat feeding no decision) may differ in
+    the last ULP from XLA FMA-contraction choices in the unrolled bodies."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    bits = _tx_bits(rng, 60)
+    sig, _ = fsk.fsk_mod_np(CFG, bits, F1, SHIFT)
+    iq = _channel(sig, 0.25, rng)
+    # resample ~0.4% fast then ~0.4% slow so nin exercises ALL of
+    # {N-Ts/2, N, N+Ts/2}
+    def _resample(x, r):
+        t = np.arange(int(len(x) / r))
+        return (np.interp(t * r, np.arange(len(x)), x.real)
+                + 1j * np.interp(t * r, np.arange(len(x)), x.imag))
+    half = len(iq) // 2
+    iq = np.concatenate([_resample(iq[:half], 1.004),
+                         _resample(iq[half:], 0.996)]).astype(np.complex64)
+    nf = CFG.num_frames(len(iq))
+    _, o1 = fsk.demod_stream(CFG, jnp.asarray(iq), nf)
+    nins = np.asarray(o1.nin)[np.asarray(o1.valid)]
+    assert len(set(nins.tolist())) == 3, "test capture must exercise all nin"
+    for F in (2, 4, 8):
+        _, oF = fsk.demod_stream(CFG, jnp.asarray(iq), nf, frames_per_step=F)
+        for field in ("soft", "bits", "valid", "f_est", "norm_rx_timing",
+                      "nin", "ebno_db"):
+            a = np.asarray(getattr(o1, field))
+            b = np.asarray(getattr(oF, field))
+            assert a.shape == b.shape and np.array_equal(a, b), (F, field)
+        np.testing.assert_allclose(np.asarray(oF.ppm), np.asarray(o1.ppm),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_mod_ext_vco_drive():
     """VCO drive = per-sample tone frequency (fsk.c:1207-1243)."""
     rng = np.random.default_rng(11)

@@ -138,3 +138,74 @@ def test_driver_configures_and_tracks_simulated_flight():
     assert len(fixes) == 3
     assert fixes[-1]["altitude"] > fixes[0]["altitude"]   # ascending
     assert fixes[-1]["gpsFix"] == 3 and fixes[-1]["numSV"] == 11
+
+
+def test_time_sync_hook_fires_on_whole_seconds_only():
+    """The NTPD-SHM push condition (reference ublox.py:1186-1188): the
+    time_sync callable fires only when iTOW lands on a whole second, with
+    the UTC unix timestamp (GPS time minus leap seconds)."""
+    import calendar
+    import datetime
+    stamps = []
+    gps = ubx.UBloxGPS(transport=_NullTransport(), time_sync=stamps.append)
+    frac = dict(FIX)                          # iTOW=302400.5 — fractional
+    for msg in ubx.UBXParser().feed(ubx.nav_frames(frac)):
+        gps.handle(*msg)
+    assert stamps == []
+    whole = dict(FIX, iTOW=302401.0)
+    for msg in ubx.UBXParser().feed(ubx.nav_frames(whole)):
+        gps.handle(*msg)
+    expect_dt = (datetime.datetime(1980, 1, 6) + datetime.timedelta(
+        days=FIX["week"] * 7, seconds=302401.0 - FIX["leapS"]))
+    assert stamps == [calendar.timegm(expect_dt.utctimetuple())]
+
+
+def test_time_sync_failure_is_contained():
+    """A raising time_sync must not break fix processing (it is host time
+    discipline, not flight-critical)."""
+    msgs = []
+
+    def boom(_):
+        raise RuntimeError("shm gone")
+    fixes = []
+    gps = ubx.UBloxGPS(transport=_NullTransport(), callback=fixes.append,
+                       time_sync=boom, debug_ptr=msgs.append)
+    for msg in ubx.UBXParser().feed(ubx.nav_frames(dict(FIX, iTOW=7.0))):
+        gps.handle(*msg)
+    assert len(fixes) == 1
+    assert any("time_sync failed" in m for m in msgs)
+
+
+def test_system_clock_setter_first_3d_fix_once():
+    """cli/flight.py --set-system-clock: clock set once, on the FIRST 3D
+    fix, with the reference's exact timedatectl commands and downlinked
+    debug text (tx_picamera2_gps.py:133-151)."""
+    from wenet_tpu.cli.flight import SystemClockSetter
+    ran, texts = [], []
+    setter = SystemClockSetter(debug_ptr=texts.append,
+                               runner=lambda cmd: ran.append(cmd) or 0)
+    setter.on_fix(dict(FIX, gpsFix=0))            # no fix: nothing happens
+    assert ran == []
+    setter.on_fix(dict(FIX, iTOW=302400.0))       # first 3D fix
+    assert len(ran) == 2
+    assert ran[0].startswith('timedatectl set-time "') and ran[0].endswith('"')
+    assert ran[1] == "timedatectl set-ntp 1"
+    import datetime
+    expect = (datetime.datetime(1980, 1, 6) + datetime.timedelta(
+        days=FIX["week"] * 7, seconds=302400.0 - FIX["leapS"])
+        ).strftime("%Y-%m-%d %H:%M:%S")
+    assert expect in ran[0]
+    assert any("System clock set to GPS time" in t for t in texts)
+    assert any("Re-enabled NTP sync" in t for t in texts)
+    setter.on_fix(dict(FIX, iTOW=302460.0))       # later fixes: no-op
+    assert len(ran) == 2
+
+
+def test_system_clock_setter_reports_failure():
+    from wenet_tpu.cli.flight import SystemClockSetter
+    texts = []
+    setter = SystemClockSetter(debug_ptr=texts.append,
+                               runner=lambda cmd: 1)
+    setter.on_fix(dict(FIX))
+    assert any("failed" in t for t in texts)
+    assert any("Could not enable NTP sync" in t for t in texts)

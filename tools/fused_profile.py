@@ -23,8 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=32)
     ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--unroll", default="1,2,4")
-    ap.add_argument("--secs", type=float, default=95.0)
+    ap.add_argument("--unroll", default="1")
+    ap.add_argument("--fstep", default="1,4,8,16",
+                    help="frames_per_step values for the demod-only sweep")
     args = ap.parse_args()
 
     import numpy as np
@@ -77,26 +78,28 @@ def main():
               "msps": round(n / dt / 1e6, 2), "chunks": nc, **extra})
         return r
 
-    # (a) demod-only, at several scan unrolls
+    # (a) demod-only, at several scan unrolls x frames_per_step
     for unroll in (int(u) for u in args.unroll.split(",")):
-        @jax.jit
-        def demod_only(data, starts, skips, _u=unroll):
-            pad = jnp.full((chunk_len, 2), 127, data.dtype)
-            buf = jnp.concatenate([data, pad], axis=0)
-            ix = starts[:, None] + jnp.arange(chunk_len, dtype=jnp.int32)
-            chunks = buf[ix]
+        for fstep in (int(f) for f in args.fstep.split(",")):
+            @jax.jit
+            def demod_only(data, starts, skips, _u=unroll, _f=fstep):
+                pad = jnp.full((chunk_len, 2), 127, data.dtype)
+                buf = jnp.concatenate([data, pad], axis=0)
+                ix = starts[:, None] + jnp.arange(chunk_len, dtype=jnp.int32)
+                chunks = buf[ix]
 
-            def one(chunk, skip):
-                x = (chunk.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
-                z = jax.lax.complex(x[..., 0], x[..., 1])
-                _, outs = fsk.demod_stream(cfg, z, nf, unroll=_u)
-                keep = outs.valid & (jnp.arange(nf, dtype=jnp.int32) >= skip)
-                soft = jnp.where(keep[:, None], outs.soft, 1.0).reshape(-1)
-                return soft
-            return jax.vmap(one)(chunks, skips)
+                def one(chunk, skip):
+                    x = (chunk.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+                    z = jax.lax.complex(x[..., 0], x[..., 1])
+                    _, outs = fsk.demod_stream(cfg, z, nf, unroll=_u,
+                                               frames_per_step=_f)
+                    keep = outs.valid & (jnp.arange(nf, dtype=jnp.int32) >= skip)
+                    soft = jnp.where(keep[:, None], outs.soft, 1.0).reshape(-1)
+                    return soft
+                return jax.vmap(one)(chunks, skips)
 
-        soft = timed(f"demod_only_u{unroll}", demod_only, d, sj, kj,
-                     unroll=unroll)
+            soft = timed(f"demod_only_u{unroll}_f{fstep}", demod_only,
+                         d, sj, kj, unroll=unroll, fstep=fstep)
 
     # (c) top-k deframe alone on the precomputed soft bits
     soft_dev = jax.device_put(np.asarray(soft))
@@ -110,9 +113,10 @@ def main():
     timed("topk_only", topk_only, soft_dev, k=k)
 
     # (b) the full fused chain (the production program, export-cached)
+    fs = P._fused_fstep(None)
     fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt,
-                             P._fused_unroll(None))
-    timed("full_chain", fn, d, sj, kj, k=k)
+                          P._fused_unroll(None), fs)
+    timed("full_chain", fn, d, sj, kj, k=k, fstep=fs)
 
 
 

@@ -11,6 +11,44 @@ import sys
 import time
 
 
+class SystemClockSetter:
+    """Set the host clock from the first 3D GPS fix, once — the guarded
+    flight-ops behavior of tx_picamera2_gps.py:133-151 (timedatectl
+    set-time from the fix, then re-enable NTP sync), with the outcome
+    downlinked as debug text.  `runner` is os.system-compatible and
+    injectable for tests."""
+
+    def __init__(self, debug_ptr=None, runner=None):
+        import os
+        self.debug_ptr = debug_ptr or (lambda msg: None)
+        self.runner = runner or os.system
+        self.done = False
+
+    def on_fix(self, state):
+        if self.done or state.get("gpsFix") != 3:
+            return
+        self.done = True        # one attempt only, like the reference
+        try:
+            # state carries GPS week/iTOW/leapS; derive UTC like the
+            # reference's gps_data['datetime'] (ublox.py weeksecondstoutc)
+            import datetime
+            dt = (datetime.datetime(1980, 1, 6) + datetime.timedelta(
+                days=state["week"] * 7, seconds=state["iTOW"] - state["leapS"]))
+            new_time = dt.strftime("%Y-%m-%d %H:%M:%S")
+            if self.runner(f'timedatectl set-time "{new_time}"') == 0:
+                self.debug_ptr(
+                    f"GPS Debug: System clock set to GPS time {new_time}")
+            else:
+                self.debug_ptr(
+                    "GPS Debug: Attempt to set system clock failed!")
+            if self.runner("timedatectl set-ntp 1") == 0:
+                self.debug_ptr("GPS Debug: Re-enabled NTP sync.")
+            else:
+                self.debug_ptr("GPS Debug: Could not enable NTP sync.")
+        except Exception:
+            self.debug_ptr("GPS Debug: Attempt to set system clock failed!")
+
+
 def main(argv=None):
     from ..utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
@@ -33,6 +71,13 @@ def main(argv=None):
                     help="serial device of a real u-blox GPS (UBX protocol "
                          "via tx/ubx.py); default: simulated trajectory")
     ap.add_argument("--tx-resolution", default="800x608")
+    ap.add_argument("--set-system-clock", action="store_true",
+                    help="set the host clock from the first 3D GPS fix "
+                         "(timedatectl; tx_picamera2_gps.py:133-151) — "
+                         "opt-in: it mutates host state")
+    ap.add_argument("--ntpd-update", action="store_true",
+                    help="push whole-second GPS time into ntpd via the "
+                         "SHM refclock (requires ntpdshm; ublox.py:963+)")
     args = ap.parse_args(argv)
 
     from ..ops import fsk
@@ -81,14 +126,20 @@ def main(argv=None):
                      tx_resolution=(w, h))
 
     # GPS telemetry per fix (tx_picamera2_gps.handle_gps_data, :114-152)
+    clock = (SystemClockSetter(debug_ptr=tx.transmit_text_message)
+             if args.set_system_clock else None)
+
     def on_fix(state):
         tx.transmit_gps_telemetry(state, cam.camera.get_metadata())
+        if clock is not None:
+            clock.on_fix(state)
 
     if args.gps_port:
         from ..tx.ubx import UBloxGPS
         gps = UBloxGPS(port=args.gps_port, callback=on_fix,
                        update_rate_ms=int(1000 / max(args.gps_rate, 0.1)),
-                       debug_ptr=tx.transmit_text_message)
+                       debug_ptr=tx.transmit_text_message,
+                       ntpd_update=args.ntpd_update)
     else:
         gps = SimulatedGPS(callback=on_fix, rate=args.gps_rate)
     gps.start()

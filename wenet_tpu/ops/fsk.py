@@ -357,10 +357,14 @@ def _demod_frame(cfg: FSKConfig, state: DemodState, stream, new_blocks, hann,
     s_i = jnp.asarray(starts)[None, :]
     Wsum = ((t_i >= s_i) & (t_i < s_i + Ts)).astype(jnp.float32)
     # HIGHEST precision: TPU matmuls default to bf16-truncated inputs,
-    # which would silently degrade the integrators near the decode cliff
-    f_int = jax.lax.complex(
-        jnp.matmul(jnp.real(d), Wsum, precision=jax.lax.Precision.HIGHEST),
-        jnp.matmul(jnp.imag(d), Wsum, precision=jax.lax.Precision.HIGHEST))
+    # which would silently degrade the integrators near the decode cliff.
+    # Real and imag parts ride ONE matmul (stacked rows) — each output row
+    # is the same independent dot-product reduction, so this is bit-exact
+    # vs two separate matmuls, at half the matmul-op count (the per-op
+    # overhead, not FLOPs, prices the scan step on the target backend)
+    ri = jnp.concatenate([jnp.real(d), jnp.imag(d)], axis=0)   # (2M, Nmem)
+    prod = jnp.matmul(ri, Wsum, precision=jax.lax.Precision.HIGHEST)
+    f_int = jax.lax.complex(prod[:M], prod[M:])
 
     # --- fine timing: magic spectral line at Rs (fsk.c:857-884)
     ft1 = jnp.sum(jnp.square(f_int.real) + jnp.square(f_int.imag), axis=0)
@@ -463,17 +467,20 @@ def eye_diagram(f_int: np.ndarray, P: int, high_sample: int, M: int,
 # ------------------------------------------------------------ stream driver
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_frames", "with_eye", "unroll"))
+@partial(jax.jit, static_argnames=("cfg", "num_frames", "with_eye", "unroll",
+                                   "frames_per_step"))
 def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
                  state: DemodState | None = None, n_valid=None,
-                 with_eye: bool = False, unroll: int = 1):
+                 with_eye: bool = False, unroll: int = 1,
+                 frames_per_step: int = 1):
     """Demodulate a capture: iq (n,) complex64 -> per-frame FrameOut stack.
 
     The fread(nin)/samp_old state machine (fsk_demod.c:270, fsk.c:187-199)
     becomes a scan whose carry holds a read pointer into the zero-padded
-    capture; each step gathers its Nmem-sample window at a dynamic offset.
-    Frames that would read past the end are masked invalid and freeze the
-    carry (the C loop simply exits at EOF).
+    capture; each step gathers ONE slack window at a dynamic offset and
+    demodulates `frames_per_step` consecutive frames from it.  Frames that
+    would read past the end are masked invalid and freeze the carry (the C
+    loop simply exits at EOF).
 
     n_valid: optional traced count of real samples in `iq` (the rest being
     padding), so streaming callers can bucket buffer shapes without
@@ -484,7 +491,18 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
     (fsk.c:1031-1079; emitted in fsk_demod's --stats JSON, fsk_demod.c:
     366-377).  Carried through the scan, so the cost is one where-select
     of a (M, (Nsym+1)*P) array per frame.
+
+    frames_per_step (static): frames demodulated per scan step.  Under
+    vmap (the fused chunk path) the per-step window gather is a per-LANE-
+    varying dynamic_slice that lowers to a gather costing ~40 us/step on
+    the target backend (tools/fused_profile.py --bisect, BENCHMARKS.md
+    round 4) — F frames per step amortize that gather F-fold.  Frame
+    j > 0 inside a step derives its window from frame j-1's by a 3-way
+    static-slice select on nin (the same select the single-frame path
+    already uses), so the samples every frame sees are IDENTICAL to the
+    F=1 path: outputs are bit-exact for any F.
     """
+    F = frames_per_step
     n = iq.shape[0] if n_valid is None else n_valid
     if state is None:
         state = demod_init(cfg)
@@ -493,60 +511,89 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
         z = iq[0].real * 0.0
         state = jax.tree.map(lambda a: a + z.astype(a.dtype), state)
     hann = jnp.asarray(hann_window(cfg.Ndft))
+
+    NB = cfg.Ndft * cfg.max_fft_blocks
+    half_ts = cfg.Ts // 2                     # elastic-nin step (fsk.c:898)
+    nin_min = cfg.N - half_ts
+    # per-frame window shrink: offsets are 0 / half_ts / 2*half_ts — NOT
+    # Ts: for odd Ts (e.g. the GQRX 48 kHz config, Ts=5) 2*(Ts//2) = Ts-1
+    adv = nin_min + 2 * half_ts               # == nin_max
+    wlen = max(2 * half_ts + cfg.Nmem, cfg.Nmem - nin_min + NB)
+    # frame j's local window length inside the step (frame F-1 needs the
+    # baseline wlen; each earlier frame needs one nin_max more so the
+    # next frame's window is a slice of the current select)
+    L = [wlen + (F - 1 - j) * adv for j in range(F)]
     pad_front = cfg.Nmem
-    pad_back = cfg.Nmem + cfg.Ndft * cfg.max_fft_blocks
+    pad_back = cfg.Nmem + NB + (F - 1) * adv
     buf = jnp.concatenate([
         jnp.zeros(pad_front, jnp.complex64), iq.astype(jnp.complex64),
         jnp.zeros(pad_back, jnp.complex64)])
+    steps = -(-num_frames // F)
 
-    def step(carry, _):
-        st = carry[0] if with_eye else carry
+    def one_frame(st, W, j, eye_carry):
+        """Demod frame j of the step from local window W (length L[j],
+        anchored at st.pos + nin_min - Nmem).  nin only ever takes
+        {N - Ts/2, N, N + Ts/2}, so the Nmem history window is a 3-way
+        select of STATIC slices and the freq-est block a static slice
+        (bit-exact: the selected elements are identical)."""
         valid = st.pos + st.nin <= n
-        # ONE per-frame gather instead of two: under vmap (the fused chunk
-        # path) a per-lane-varying dynamic_slice lowers to a gather that
-        # costs ~40 us/step on the target backend (tools/fused_profile.py
-        # --bisect, BENCHMARKS.md round 4).  nin only ever takes
-        # {N - Ts/2, N, N + Ts/2}, so one slack window anchored at the
-        # minimum start covers every case and both the Nmem history window
-        # and the freq-est block become STATIC slices + a 3-way select
-        # (bit-exact: the selected elements are identical).
-        NB = cfg.Ndft * cfg.max_fft_blocks
-        half_ts = cfg.Ts // 2                 # elastic-nin step (fsk.c:898)
-        nin_min = cfg.N - half_ts
-        # offsets are 0 / half_ts / 2*half_ts — NOT Ts: for odd Ts (e.g.
-        # the GQRX 48 kHz config, Ts=5) 2*(Ts//2) = Ts-1
-        wlen = max(2 * half_ts + cfg.Nmem, cfg.Nmem - nin_min + NB)
-        wb = jax.lax.dynamic_slice(
-            buf, (pad_front + st.pos + (nin_min - cfg.Nmem),), (wlen,))
         d0 = st.nin - nin_min                 # in {0, half_ts, 2*half_ts}
-        s_a = jax.lax.slice(wb, (0,), (cfg.Nmem,))
-        s_b = jax.lax.slice(wb, (half_ts,), (half_ts + cfg.Nmem,))
-        s_c = jax.lax.slice(wb, (2 * half_ts,), (2 * half_ts + cfg.Nmem,))
-        stream = jnp.where(d0 == 0, s_a,
-                           jnp.where(d0 == half_ts, s_b, s_c))
+        span = cfg.Nmem if j == F - 1 else nin_min + L[j + 1]
+        s_a = jax.lax.slice(W, (0,), (span,))
+        s_b = jax.lax.slice(W, (half_ts,), (half_ts + span,))
+        s_c = jax.lax.slice(W, (2 * half_ts,), (2 * half_ts + span,))
+        sel = jnp.where(d0 == 0, s_a, jnp.where(d0 == half_ts, s_b, s_c))
+        stream = jax.lax.slice(sel, (0,), (cfg.Nmem,))
         new_blocks = jax.lax.slice(
-            wb, (cfg.Nmem - nin_min,), (cfg.Nmem - nin_min + NB,))
+            W, (cfg.Nmem - nin_min,), (cfg.Nmem - nin_min + NB,))
         if with_eye:
             nst, out, probe = _demod_frame(cfg, st, stream, new_blocks, hann,
                                            with_probe=True)
-            eye = jax.tree.map(
+            eye_carry = jax.tree.map(
                 lambda a, b: jnp.where(valid, a, b),
-                (probe["f_int"], probe["high_sample"]), carry[1])
+                (probe["f_int"], probe["high_sample"]), eye_carry)
         else:
             nst, out = _demod_frame(cfg, st, stream, new_blocks, hann)
         nst = jax.tree.map(lambda a, b: jnp.where(valid, a, b), nst, st)
         out = out._replace(valid=valid)
-        return ((nst, eye) if with_eye else nst), out
+        # next frame's window starts nin further on: sel is already the
+        # window advanced by nin - nin_min, so one more STATIC slice at
+        # nin_min lands it.  (After a freeze the advanced window carries
+        # garbage, but every subsequent frame is invalid and masked.)
+        W_next = (jax.lax.slice(sel, (nin_min,), (nin_min + L[j + 1],))
+                  if j < F - 1 else None)
+        return nst, out, W_next, eye_carry
+
+    def step(carry, _):
+        st = carry[0] if with_eye else carry
+        eye_c = carry[1] if with_eye else None
+        W = jax.lax.dynamic_slice(
+            buf, (pad_front + st.pos + (nin_min - cfg.Nmem),), (L[0],))
+        outs_f = []
+        for j in range(F):
+            st, out, W, eye_c = one_frame(st, W, j, eye_c)
+            outs_f.append(out)
+        if F == 1:
+            outs = outs_f[0]
+        else:
+            outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs_f)
+        return ((st, eye_c) if with_eye else st), outs
 
     if with_eye:
         eye0 = (jnp.zeros((cfg.M, (cfg.Nsym + 1) * cfg.P), jnp.complex64),
                 jnp.zeros((), jnp.int32))
         (final, eye), outs = jax.lax.scan(step, (state, eye0), None,
-                                          length=num_frames, unroll=unroll)
-        return final, outs, eye
-    final, outs = jax.lax.scan(step, state, None, length=num_frames,
-                               unroll=unroll)
-    return final, outs
+                                          length=steps, unroll=unroll)
+    else:
+        final, outs = jax.lax.scan(step, state, None, length=steps,
+                                   unroll=unroll)
+    if F > 1:
+        # (steps, F, ...) -> (steps*F, ...), truncated to the requested
+        # frame count (the overhang frames are provably invalid: frame
+        # num_frames onward would start past the last consumable sample)
+        outs = jax.tree.map(
+            lambda a: a.reshape(steps * F, *a.shape[2:])[:num_frames], outs)
+    return (final, outs, eye) if with_eye else (final, outs)
 
 
 def demod_iq_np(cfg: FSKConfig, iq: np.ndarray, state: DemodState | None = None):

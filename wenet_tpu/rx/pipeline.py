@@ -188,7 +188,8 @@ def _fused_geometry(cfg: fsk.FSKConfig, mode: str, n: int, n_chunks: int,
 
 @_functools.lru_cache(maxsize=8)
 def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
-                   k: int, max_iter: int, fmt: str, unroll: int = 1):
+                   k: int, max_iter: int, fmt: str, unroll: int = 1,
+                   fstep: int = 1):
     """Compile the ONE-dispatch RX chain: ingest-format conversion +
     overlap-save chunk gather + vmapped scan demod + on-device UW top-k
     deframe + batched BP decode + CRC — a single XLA program.
@@ -226,8 +227,11 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
             z = jax.lax.complex(x[..., 0], x[..., 1])
             # scan unroll amortizes the per-step overhead that dominates
             # the sequential demod at production chunk counts (measured
-            # 13 -> 32 MS/s from u1 -> u4 at 32 chunks, fused_profile)
-            _, outs = fsk.demod_stream(cfg, z, nf, unroll=unroll)
+            # 13 -> 32 MS/s from u1 -> u4 at 32 chunks, fused_profile);
+            # fstep frames per scan step amortize the per-lane window
+            # gather (~40 us/step under vmap) fstep-fold — bit-exact
+            _, outs = fsk.demod_stream(cfg, z, nf, unroll=unroll,
+                                       frames_per_step=fstep)
             # blank halo-warmup + past-end frames to +1.0 (hard bit 0: can
             # never hit the UW, so no spurious candidates) — keeps shapes
             # static where the host path drops those frames
@@ -253,6 +257,8 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
     key = f"fused_{mode}_{ck}_{chunk_len}_{nf}_{k}_{max_iter}_{fmt}"
     if unroll != 1:
         key += f"_u{unroll}"
+    if fstep != 1:
+        key += f"_f{fstep}"
     return jaxcache.export_cached_jit(jax.jit(run), key)
 
 
@@ -264,6 +270,15 @@ def _fused_unroll(value):
     if value is not None:
         return int(value)
     return int(_os.environ.get("WENET_FUSED_UNROLL", "1"))
+
+
+def _fused_fstep(value):
+    """Demod frames per scan step (fsk.demod_stream frames_per_step):
+    bit-exact for any value; amortizes the per-lane window gather F-fold
+    (r5 scan-cost work).  Default 8; env for experiments."""
+    if value is not None:
+        return int(value)
+    return int(_os.environ.get("WENET_FUSED_FSTEP", "8"))
 
 
 def _normalize_fused_input(raw, input_format: str):
@@ -319,7 +334,8 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
                     cfg: fsk.FSKConfig | None = None, n_chunks: int = 16,
                     warmup_frames: int = 8, max_iter: int = 10,
                     input_format: str = "cu8", k_per_chunk: int | None = None,
-                    mesh=None, scan_unroll: int | None = None):
+                    mesh=None, scan_unroll: int | None = None,
+                    frames_per_step: int | None = None):
     """Single-dispatch capture decode: raw samples -> CRC-valid payloads.
 
     The dispatch-latency-proof production ingest path (the contract of the
@@ -350,7 +366,8 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
         k_per_chunk = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
-                        input_format, _fused_unroll(scan_unroll))
+                        input_format, _fused_unroll(scan_unroll),
+                        _fused_fstep(frames_per_step))
     if mesh is not None:
         # export artifacts are not sharding-specialized: use the pristine
         # jitted program so XLA partitions it for THIS mesh.  device_put
@@ -378,7 +395,8 @@ def decode_iq_fused_overlap(raw: np.ndarray, mode: str = "v2",
                             warmup_frames: int = 8, max_iter: int = 10,
                             input_format: str = "cu8",
                             k_per_chunk: int | None = None, depth: int = 2,
-                            scan_unroll: int | None = None):
+                            scan_unroll: int | None = None,
+                            frames_per_step: int | None = None):
     """Slab-pipelined fused decode: H2D transfer overlapped with execution.
 
     Same one-program chain as `decode_iq_fused`, but the capture is cut
@@ -423,7 +441,8 @@ def decode_iq_fused_overlap(raw: np.ndarray, mode: str = "v2",
     skips_mid = np.where(starts > 0, skips, warmup_frames).astype(np.int32)
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
-                        input_format, _fused_unroll(scan_unroll))
+                        input_format, _fused_unroll(scan_unroll),
+                        _fused_fstep(frames_per_step))
     starts_j = jnp.asarray(starts)
     skips_j = {False: jnp.asarray(skips), True: jnp.asarray(skips_mid)}
 
@@ -452,7 +471,7 @@ def decode_iq_fused_overlap(raw: np.ndarray, mode: str = "v2",
 
 @_functools.lru_cache(maxsize=32)
 def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str,
-                    unroll: int = 1):
+                    unroll: int = 1, fstep: int = 1):
     """Compiled streaming-push program: ingest conversion (cu8 -> complex on
     DEVICE — the rtl_sdr bytes are what crosses the wire, 4x less H2D than
     complex64 pairs) + scan demod + on-device last-valid-frame stat gather.
@@ -474,7 +493,8 @@ def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str,
             x = data
         iq = jax.lax.complex(x[:, 0], x[:, 1])
         res = fsk.demod_stream(cfg, iq, nf, state, n_valid=n_valid,
-                               with_eye=with_eye, unroll=unroll)
+                               with_eye=with_eye, unroll=unroll,
+                               frames_per_step=fstep)
         final, outs = res[0], res[1]
         vidx = jnp.arange(nf, dtype=jnp.int32)
         last = jnp.max(jnp.where(outs.valid, vidx, -1))
@@ -501,6 +521,8 @@ def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str,
     key = f"stream_{ck}_{nf}_{int(with_eye)}_{fmt}"
     if unroll != 1:
         key += f"_u{unroll}"
+    if fstep != 1:
+        key += f"_f{fstep}"
     return jaxcache.export_cached_jit(jax.jit(run), key)
 
 
@@ -613,7 +635,7 @@ class Receiver:
             data = np.zeros((blen, 2), np.float32)
             data[:n_samples] = buf.view(np.float32).reshape(-1, 2)
         fn = _stream_program(cfg, nf, self.with_eye, self.input_format,
-                             _fused_unroll(None))
+                             _fused_unroll(None), _fused_fstep(None))
         res = fn(jnp.asarray(data), self.state, n_samples)
         final, packed = res[:2]
         eye = res[2] if self.with_eye else None

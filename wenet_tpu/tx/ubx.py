@@ -146,6 +146,25 @@ def nav_frames(state: dict) -> bytes:
             pack_nav_timegps(iTOW_ms, state["week"], state["leapS"]))
 
 
+class NtpShmSink:
+    """ntpd shared-memory time sink — the reference's `ntpd_update=True`
+    option (ublox.py:1019-1029): GPS time pushed into ntpd via the SHM
+    refclock driver, unit 2, so /etc/ntp.conf needs
+    `server 127.127.28.2 minpoll 1 maxpoll 3 prefer`.  Requires the
+    `ntpdshm` package (not bundled); construction raises ImportError when
+    it is absent so callers degrade gracefully."""
+
+    def __init__(self, unit: int = 2):  # pragma: no cover - needs ntpdshm
+        import ntpdshm
+        self.shm = ntpdshm.NtpdShm(unit=unit)
+        self.shm.mode = 0
+        self.shm.precision = -5
+        self.shm.leap = 0
+
+    def __call__(self, utc_unix_ts: int):  # pragma: no cover
+        self.shm.update(utc_unix_ts)
+
+
 class UBloxGPS:
     """ublox.py:930 equivalent over any byte transport.
 
@@ -153,6 +172,13 @@ class UBloxGPS:
     Serial, a socket makefile, or an in-memory pipe). State keys and
     scalings are identical to the reference so the GPS telemetry packet
     encoder consumes the dict unchanged.
+
+    time_sync: optional callable(utc_unix_seconds) invoked on every fix
+    that lands exactly on a whole GPS second — the reference's NTPD-SHM
+    push condition (ublox.py:1186-1188).  Pass an `NtpShmSink()` for the
+    reference behavior, or any callable for custom host time discipline;
+    `ntpd_update=True` wires the sink with the reference's silent-failure
+    semantics (ublox.py:1019-1030).
     """
 
     def __init__(self, transport=None, port: str = "/dev/ublox",
@@ -160,7 +186,8 @@ class UBloxGPS:
                  update_rate_ms: int = 500,
                  dynamic_model: int = DYNAMIC_MODEL_AIRBORNE1G,
                  debug_ptr=None, log_file: str | None = None,
-                 reconnect_delay: float = 5.0):
+                 reconnect_delay: float = 5.0,
+                 time_sync=None, ntpd_update: bool = False):
         self.port = port
         self.baudrate = baudrate
         self._own_transport = transport is None
@@ -173,6 +200,13 @@ class UBloxGPS:
         self.dynamic_model = dynamic_model
         self.debug_ptr = debug_ptr
         self.reconnect_delay = reconnect_delay
+        self.time_sync = time_sync
+        if ntpd_update and time_sync is None:  # pragma: no cover - ntpdshm
+            try:
+                self.time_sync = NtpShmSink()
+                self.debug_message("Setup NTPD Interface OK")
+            except Exception:
+                self.debug_message("Failed to start NTPD Interface")
         self._log = open(log_file, "a") if log_file else None
         self._lock = threading.Lock()
         self.state = {
@@ -238,6 +272,17 @@ class UBloxGPS:
             self.write_state("leapS", d[3])
             self.write_state("timestamp", gps_weeksecondstoutc(
                 d[2], d[0] * 1e-3, d[3]))
+            # host time discipline on whole-second fixes only — the
+            # reference's NTPD-SHM push condition (ublox.py:1186-1188)
+            if self.time_sync is not None and d[0] % 1000 == 0:
+                import calendar
+                import datetime
+                dt = (datetime.datetime(1980, 1, 6) + datetime.timedelta(
+                    days=d[2] * 7, seconds=d[0] * 1e-3 - d[3]))
+                try:
+                    self.time_sync(calendar.timegm(dt.utctimetuple()))
+                except Exception as e:
+                    self.debug_message(f"time_sync failed - {e}")
             self._fix_complete()
 
     def _fix_complete(self):
