@@ -191,3 +191,41 @@ def test_fused_mesh_sharded_equals_unsharded():
                                        input_format="cu8", mesh=mesh)
     assert sharded == base
     assert len(sharded) >= 11
+
+
+def test_fused_receiver_streaming_equals_batch():
+    """FusedReceiver (the chunk-parallel live path: slabs + halo recompute,
+    depth-pipelined, device deframe) recovers the same payload set as the
+    batch fused decode of the whole capture, fed in unaligned buckets."""
+    rng = np.random.default_rng(70)
+    payloads, iq = _capture(20, rng, ebno=12.0)
+    raw = fsk.iq_to_cu8(iq / (np.abs(iq).max() + 1e-9))
+    batch = pipeline.decode_iq_fused(raw, "v2", CFG, n_chunks=4,
+                                     input_format="cu8")
+
+    rx = pipeline.FusedReceiver(mode="v2", cfg=CFG,
+                                push_samples=len(iq) // 5, n_chunks=4,
+                                input_format="cu8", depth=2)
+    got = []
+    bucket = 2 * (37 * CFG.N + 131)          # unaligned cu8-byte buckets
+    for i in range(0, len(raw), bucket):
+        got.extend(rx.push(raw[i:i + bucket]))
+    got.extend(rx.flush())
+    assert set(got) == set(batch)
+    assert len(got) == len(batch)            # no duplicate emissions
+    assert len(got) >= 19
+    assert rx.n_crc_ok == len(got)
+
+
+def test_fused_receiver_c64_and_latency():
+    """c64 input path; payloads may arrive up to `depth` slabs late but all
+    arrive by flush, and pushing after flush continues the stream."""
+    rng = np.random.default_rng(71)
+    payloads, iq = _capture(10, rng, ebno=13.0)
+    rx = pipeline.FusedReceiver(mode="v2", cfg=CFG,
+                                push_samples=len(iq) // 3, n_chunks=3,
+                                input_format="c64", depth=1)
+    got = list(rx.push(iq))
+    got += rx.flush()
+    assert set(got) <= set(payloads)
+    assert len(got) >= 9

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--unroll", default="1")
     ap.add_argument("--fstep", default="1,4,8,16",
                     help="frames_per_step values for the demod-only sweep")
+    ap.add_argument("--secs", type=float, default=95.0)
     args = ap.parse_args()
 
     import numpy as np

@@ -469,6 +469,169 @@ def decode_iq_fused_overlap(raw: np.ndarray, mode: str = "v2",
     return _dedup_payloads(results, syms_pp)
 
 
+class FusedReceiver:
+    """Chunk-parallel streaming receiver — the THROUGHPUT live path.
+
+    The classic `Receiver` threads exact demod state across pushes (one
+    serial scan: bit-for-bit the C chain's fread loop, but bounded by the
+    serial scan rate).  This receiver instead applies the one-dispatch
+    fused chain (ingest conversion + overlap-save chunked demod + on-device
+    top-k deframe + BP decode + CRC, `_fused_program`) to fixed-size slabs
+    of the incoming stream: estimator state is RECOMPUTED from a halo of
+    preceding samples rather than carried (the project's sequence-
+    parallelism mapping, SURVEY.md §2.3 — recompute-from-overlap beats
+    cross-chunk state threading on XLA), so each slab's chunks demodulate
+    in parallel and the per-push D2H is just the (tiny) packed packet
+    results.  Up to `depth` slabs stay in flight, overlapping the H2D of
+    slab s+1 with the execution of slab s — payloads arrive <= depth
+    pushes late; call flush() at end of stream.
+
+    Packet output == `decode_iq_fused` of the concatenated stream
+    (duplicates across slab halos dedup by content + global bit position).
+    Acquisition is top-k + CRC gating, a strict superset of the C FSM's
+    packets (deframe.deframe_soft docstring); use `Receiver` when exact
+    FSM-path parity or live modem stats are required.
+
+    push() accepts arbitrary-sized sample buckets (raw cu8/cs16 bytes or
+    complex64 per input_format); internally slabs dispatch whenever
+    `push_samples` new samples (plus the halo + lookahead flush) are
+    buffered, so ONE compiled program serves the whole stream.
+    """
+
+    def __init__(self, mode: str = "v2", cfg: fsk.FSKConfig | None = None,
+                 push_samples: int | None = None, n_chunks: int = 8,
+                 warmup_frames: int = 8, max_iter: int = 10,
+                 input_format: str = "cu8", depth: int = 2,
+                 k_per_chunk: int | None = None,
+                 scan_unroll: int | None = None,
+                 frames_per_step: int | None = None):
+        import jax.numpy as jnp
+        self.mode = mode
+        cfg = MODE_CONFIGS[mode] if cfg is None else cfg
+        self.cfg = cfg
+        if input_format not in ("c64", "cu8", "cs16"):
+            raise ValueError("input_format must be 'c64', 'cu8' or 'cs16'")
+        self.input_format = input_format
+        self._dtype = {"cu8": np.uint8, "cs16": np.int16,
+                       "c64": np.complex64}[input_format]
+        self._width = 2 if input_format in ("cu8", "cs16") else 1
+        self._pad_unit = 127 if input_format == "cu8" else 0
+
+        self.push_samples = int(push_samples or 4 * cfg.Fs)
+        syms_pp = (framing.V2_SYMBOLS_PER_PACKET if mode == "v2"
+                   else framing.V1_SYMBOLS_PER_PACKET)
+        self._syms_pp = syms_pp
+        packet_frames = syms_pp // cfg.Nsym + 2
+        self._halo = (warmup_frames + packet_frames) * cfg.N
+        self._flush_len = 8 * cfg.N
+        self._slab_nsamp = self.push_samples + self._halo + self._flush_len
+        _, chunk_len, starts, skips = _fused_geometry(
+            cfg, mode, self._slab_nsamp, n_chunks, warmup_frames)
+        self._chunk_len, self._starts = chunk_len, starts
+        nf = cfg.num_frames(chunk_len)
+        if k_per_chunk is None:
+            k_per_chunk = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
+        self._fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk,
+                                  max_iter, "c64" if input_format == "c64"
+                                  else input_format,
+                                  _fused_unroll(scan_unroll),
+                                  _fused_fstep(frames_per_step))
+        self._starts_j = jnp.asarray(starts)
+        # mid-stream slabs have cold estimators at chunk 0 too: blank its
+        # warmup exactly like decode_iq_fused_overlap's skips_mid
+        self._skips_first = jnp.asarray(skips)
+        self._skips_mid = jnp.asarray(
+            np.where(starts > 0, skips, warmup_frames).astype(np.int32))
+        self.depth = depth
+        self._buf = np.zeros(0, self._dtype)   # raw units from sample _base
+        self._base = 0                         # global sample index of buf[0]
+        self._next = 0                         # next slab BEGIN (global)
+        self._received = 0                     # total samples pushed
+        self._inflight = []                    # (begin, device future)
+        self._results = []                     # decoded, pre-dedup tail
+        self._emitted = {}                     # payload -> last global bit pos
+        self.n_crc_ok = 0
+
+    def _normalize(self, chunk):
+        if self.input_format in ("cu8", "cs16"):
+            chunk = np.asarray(chunk, self._dtype)
+            return chunk[: 2 * (len(chunk) // 2)]
+        return np.asarray(chunk, np.complex64)
+
+    def _dispatch_slab(self, begin: int):
+        import jax.numpy as jnp
+        w = self._width
+        lo = (begin - self._base) * w
+        slab = self._buf[lo: lo + self._slab_nsamp * w]
+        have = len(slab) // w
+        if have < self._slab_nsamp:            # tail slab: pad with silence
+            if self.input_format == "c64":
+                padded = np.zeros(self._slab_nsamp, np.complex64)
+            else:
+                padded = np.full(self._slab_nsamp * w, self._pad_unit,
+                                 self._dtype)
+            padded[: len(slab)] = slab
+            slab = padded
+        if self.input_format == "c64":
+            data = slab.view(np.float32).reshape(-1, 2)
+        else:
+            data = slab.reshape(-1, 2)
+        fut = self._fn(jnp.asarray(data), self._starts_j,
+                       self._skips_first if begin == 0 else self._skips_mid)
+        self._inflight.append((begin, fut))
+
+    def _drain_one(self):
+        begin, fut = self._inflight.pop(0)
+        self._results.extend(_unpack_fused(
+            np.asarray(fut), self._starts, self.cfg,
+            base_bit=begin // self.cfg.Ts))
+
+    def _emit_ready(self) -> list:
+        """Dedup and release results, keeping payloads near the still-
+        uncovered stream tail pending (a later slab may re-find them)."""
+        self._results.sort(key=lambda x: x[0])
+        out = []
+        for p, payload in self._results:
+            last = self._emitted.get(payload)
+            if last is not None and p - last < self._syms_pp:
+                self._emitted[payload] = p
+                continue
+            self._emitted[payload] = p
+            out.append(payload)
+        self._results = []
+        self.n_crc_ok += len(out)
+        return out
+
+    def push(self, chunk) -> list:
+        """Feed samples; returns newly-completed CRC-valid payloads (up to
+        `depth` slabs late)."""
+        chunk = self._normalize(chunk)
+        self._buf = np.concatenate([self._buf, chunk])
+        self._received += len(chunk) // self._width
+        # dispatch every slab whose data (incl. lookahead flush) is here
+        while self._received - self._next >= self._slab_nsamp:
+            self._dispatch_slab(self._next)
+            nxt = self._next + self.push_samples
+            self._next = nxt
+            trim = max(nxt - self._halo, 0)    # keep the next slab's halo
+            if trim > self._base:
+                self._buf = self._buf[(trim - self._base) * self._width:]
+                self._base = trim
+        while len(self._inflight) > self.depth:
+            self._drain_one()
+        return self._emit_ready() if self._results else []
+
+    def flush(self) -> list:
+        """End of stream: process the remaining tail and drain everything."""
+        while self._next < self._received:
+            self._dispatch_slab(self._next)
+            self._next += self.push_samples
+        while self._inflight:
+            self._drain_one()
+        self._buf = np.zeros(0, self._dtype)
+        return self._emit_ready()
+
+
 @_functools.lru_cache(maxsize=32)
 def _stream_program(cfg: fsk.FSKConfig, nf: int, with_eye: bool, fmt: str,
                     unroll: int = 1, fstep: int = 1):
