@@ -73,8 +73,41 @@ got = int(np.asarray(multihost_utils.process_allgather(
 n_local = jax.local_device_count() * 2
 expect = sum(int(np.arange(n_local).sum() + 100 * p * n_local)
              for p in range(nprocs))
-print(json.dumps({"pid": pid, "got": got, "expect": expect}), flush=True)
 assert got == expect
+
+# --- the PRODUCTION fused path, truly multi-process (VERDICT r4 #6):
+# decode_iq_fused with the chunk axis sharded across BOTH processes'
+# devices.  The capture replicates (identical on every host — SPMD);
+# each process demodulates/deframes its own chunk shards; the packed
+# packet results allgather so every host emits the same payload list.
+from wenet_tpu.core import framing
+from wenet_tpu.ops import channel, fsk, ldpc
+from wenet_tpu.rx import pipeline
+
+CFG = fsk.FSKConfig(Fs=96000, Rs=9600)
+rng = np.random.default_rng(42)
+payloads, bits = [], [rng.integers(0, 2, CFG.Nbits * 4).astype(np.uint8)]
+for _ in range(10):
+    pkt = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+    payloads.append(pkt)
+    bits.append(framing.frame_to_bits(
+        framing.frame_packet(pkt, ldpc.encode_bytes, "v2"), "v2"))
+    bits.append(rng.integers(0, 2, 200).astype(np.uint8))
+stream = np.concatenate(bits)
+stream = np.concatenate(
+    [stream, np.zeros((-len(stream)) % CFG.Nbits, np.uint8)])
+sig, _ = fsk.fsk_mod_np(CFG, stream, 2 * CFG.Rs, CFG.Rs)
+iq = channel.add_awgn(sig.astype(np.complex64), 13.0, CFG.Fs, CFG.Rs,
+                      rng=rng)
+raw = fsk.iq_to_cu8(iq / (np.abs(iq).max() + 1e-9))
+
+fused = pipeline.decode_iq_fused(raw, "v2", CFG, n_chunks=8,
+                                 input_format="cu8", mesh=m)
+n_ok = sum(1 for p in fused if p in payloads)
+print(json.dumps({"pid": pid, "got": got, "expect": expect,
+                  "fused_ok": n_ok, "fused_sent": len(payloads)}),
+      flush=True)
+assert n_ok >= len(payloads) - 1, (n_ok, len(payloads))
 """
 
 
@@ -113,3 +146,7 @@ def test_init_distributed_two_processes(tmp_path):
                for _, out, _ in outs]
     assert results[0]["got"] == results[0]["expect"]
     assert results[1]["got"] == results[1]["expect"]
+    # fused production path: both processes decode the same payload count
+    # from their chunk shards (>=9/10 asserted inside each worker)
+    assert results[0]["fused_ok"] == results[1]["fused_ok"]
+    assert results[0]["fused_sent"] == 10

@@ -385,7 +385,16 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
     else:
         data_j = jnp.asarray(data)
         starts_j, skips_j = jnp.asarray(starts), jnp.asarray(skips)
-    packed = np.asarray(fn(data_j, starts_j, skips_j))
+    out = fn(data_j, starts_j, skips_j)
+    if not getattr(out, "is_fully_addressable", True):
+        # multi-process mesh: each process holds only its chunk shards;
+        # gather the (small) packed packet results onto every host so the
+        # dedup below sees the global set (SPMD-consistent on all hosts)
+        from jax.experimental import multihost_utils
+        packed = np.asarray(multihost_utils.process_allgather(out,
+                                                              tiled=True))
+    else:
+        packed = np.asarray(out)
     return _dedup_payloads(_unpack_fused(packed, starts, cfg), syms_pp)
 
 
