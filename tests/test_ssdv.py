@@ -295,3 +295,61 @@ def test_ssdv_golden_corpus_hook():
             a2 = np.asarray(img.convert("RGB"), np.float32)
             assert a1.shape == a2.shape
             assert np.abs(a1 - a2).mean() < 8.0
+
+
+def test_ssdv_reencode_fixed_point():
+    """encode -> decode -> re-encode is a FIXED POINT: the first encode
+    requantizes to the quality-6 tables; re-encoding the decoded JPEG at
+    the same quality requantizes with identical source/target tables
+    (round(v*A/A) == v), so the second decode must be byte-identical —
+    the partial-update semantics of rx_ssdv.py:272-279 rely on decode
+    being deterministic and non-degrading."""
+    jpg = make_jpeg(seed=3)
+    pkts1 = ssdv.encode(jpg, "VK5QI", 5, quality=6)
+    out1 = ssdv.decode(pkts1)
+    pkts2 = ssdv.encode(out1, "VK5QI", 5, quality=6)
+    out2 = ssdv.decode(pkts2)
+    assert out2 == out1
+    # and the packet streams agree payload-for-payload past the header
+    assert len(pkts1) == len(pkts2)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_ssdv_loss_pattern_fuzz(seed):
+    """Packet-loss fuzz (VERDICT r4 #9): EVERY prefix/random-subset of the
+    packet stream decodes to a JPEG that PIL parses at full image
+    dimensions — the receiver writes partial updates from whatever subset
+    has arrived (rx_ssdv.py:235-279), so no loss pattern may crash the
+    decoder or produce an unparseable file."""
+    rng = np.random.default_rng(seed)
+    jpg = make_jpeg(seed=seed + 10)
+    pkts = ssdv.encode(jpg, "VK5QI", seed)
+    n = len(pkts)
+    assert n > 4
+    subsets = [
+        pkts[:1],                                  # first packet only
+        pkts[: max(n // 3, 1)],                    # short prefix
+        pkts[:-1],                                 # all but last
+        [pkts[0], pkts[-1]],                       # ends only
+        [p for p in pkts if rng.random() > 0.5],   # random half
+        [p for p in pkts if rng.random() > 0.2],   # random 80%
+    ]
+    for i, sub in enumerate(subsets):
+        if not sub:
+            continue
+        out = ssdv.decode(sub)
+        img = Image.open(io.BytesIO(out))
+        img.load()                                 # force full parse
+        assert img.size == (320, 240), (seed, i)
+
+
+def test_ssdv_mid_stream_start_decodes():
+    """A receiver keying up mid-image (no packet 0) still produces a
+    parseable partial image — the headers carry enough per-packet state
+    (MCU offset/index) to resynchronize."""
+    jpg = make_jpeg(seed=9)
+    pkts = ssdv.encode(jpg, "VK5QI", 2)
+    out = ssdv.decode(pkts[len(pkts) // 2:])
+    img = Image.open(io.BytesIO(out))
+    img.load()
+    assert img.size == (320, 240)
