@@ -799,6 +799,31 @@ def _finish_stream(candidates, cfg):
     _checkpoint()
 
 
+@_stage("wideband")
+def stage_wideband():
+    """Channelized wideband scaling (BASELINE config 4 / VERDICT r4 #3):
+    the fused wideband pipeline — polyphase filterbank + N demods + N
+    deframes + batched LDPC, one dispatch — at N channels.  Captures are
+    disk-cached (host synthesis at wideband rates is minutes for N=16)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import wideband_scaling
+
+    _warm_d2h()
+    for nch in (int(x) for x in os.environ.get(
+            "WENET_BENCH_WIDEBAND_N", "8,16").split(",")):
+        if _remaining() < 60:
+            RESULTS[f"wideband_n{nch}_skipped"] = "budget"
+            _checkpoint()
+            continue
+        rec = wideband_scaling.measure(nch)
+        RESULTS[f"wideband_msps_n{nch}"] = rec["wideband_msps"]
+        RESULTS[f"wideband_rt_x_n{nch}"] = rec["band_realtime_x"]
+        RESULTS[f"wideband_channels_ok_n{nch}"] = (
+            f"{rec['channels_complete']}/{nch}")
+        _checkpoint()
+
+
 @_stage("ldpc")
 def stage_ldpc(reps=3):
     import jax.numpy as jnp
@@ -862,7 +887,8 @@ def _configure_jax():
     return jax
 
 
-STAGES = {"chain": stage_chain, "stream": stage_stream, "ldpc": stage_ldpc}
+STAGES = {"chain": stage_chain, "stream": stage_stream,
+          "wideband": stage_wideband, "ldpc": stage_ldpc}
 
 
 def run_stage_child(name: str, out_path: str, budget: float | None = None):
@@ -899,16 +925,19 @@ def main(total_budget: float):
     everything.  Budget split: chain <= 45% of total, stream 75% of the
     remainder, ldpc the rest."""
     t_end = time.time() + total_budget - 15.0        # reserve for emit
-    order = [("chain", 0.45 * total_budget),
-             ("stream", None),                        # 75% of what's left
+    order = [("chain", 0.40 * total_budget),
+             ("stream", None),                        # 65% of what's left
+             ("wideband", None),                      # 55% of what's left
              ("ldpc", None)]
+    fracs = {"stream": 0.65, "wideband": 0.55}
     for i, (name, budget) in enumerate(order):
         remaining = t_end - time.time()
         if remaining < 20:
             RESULTS[f"{name}_skipped"] = "budget exhausted"
             continue
         if budget is None:
-            budget = remaining if i == len(order) - 1 else 0.75 * remaining
+            budget = (remaining if i == len(order) - 1
+                      else fracs[name] * remaining)
         budget = min(budget, remaining)
         out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
         t0 = time.time()

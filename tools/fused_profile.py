@@ -167,6 +167,24 @@ def bisect(chunks=32, reps=2, secs=95.0):
             if "freq" in skip:
                 fft_est, f_new = st.fft_est, jnp.asarray(
                     [24000.0, 120000.0], jnp.float32)
+            elif "peaks" in skip:
+                # keep the DFT + EMA, replace only the M-peak pick: how
+                # much of freq-est is the ~10 small reduction ops?
+                from wenet_tpu.utils import compat as _compat
+                half_ = cfg.Ndft // 2
+                idx_ = jnp.arange(cfg.Ndft)
+                fft_samps = jnp.clip(nin - cfg.Ndft, 0, cfg.Ndft)
+                win_ = jnp.where(idx_ < fft_samps, hann, 0.0)
+                spec = _compat.dft(new_blocks[: cfg.Ndft] * win_,
+                                   n_out=half_)
+                mag2 = jnp.square(spec.real) + jnp.square(spec.imag)
+                bin_i = jnp.arange(half_)
+                band = (bin_i >= cfg.f_min_bin) & (bin_i < cfg.f_max_bin - 1)
+                mag = jnp.sqrt(jnp.where(band, mag2, 0.0))
+                tc_ = jnp.float32(cfg.ema_tc)
+                fft_est = st.fft_est * (1 - tc_) + mag * tc_
+                f_new = jnp.asarray([24000.0, 120000.0], jnp.float32) \
+                    + 0.0 * fft_est[0]
             else:
                 fft_est, f_new = fsk._freq_est_step(
                     cfg, st.fft_est, new_blocks, nin, hann)

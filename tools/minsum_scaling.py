@@ -1,0 +1,79 @@
+"""Normalized min-sum decoder B-scaling + iteration histogram on chip
+(VERDICT r4 #10: anchor the Monte-Carlo engine claim with a scaling
+record, not one number).
+
+Sweeps batch size B for ldpc.decode_minsum (and the sum-product decoder
+for comparison) on near-threshold LLRs, fetch-honest (every timed region
+ends with a host fetch of the decoded bits), and records the iteration
+histogram at the operating point.  Appends to bench_runs/minsum.jsonl.
+
+Usage: timeout 580 python tools/minsum_scaling.py [--batches 128,512,2048,8192]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="128,512,2048,8192")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ebno_db", type=float, default=7.5,
+                    help="near-threshold operating point (iteration churn)")
+    args = ap.parse_args()
+
+    from wenet_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    from wenet_tpu.ops import ldpc
+
+    out_path = os.path.join(REPO, "bench_runs", "minsum.jsonl")
+
+    def emit(rec):
+        rec["t"] = round(time.time(), 0)
+        rec["platform"] = jax.devices()[0].platform
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+    r = np.random.default_rng(1)
+    esn0 = 10 ** (args.ebno_db / 10.0) * 0.8        # rate-adjusted Es/N0
+    for B in (int(b) for b in args.batches.split(",")):
+        ib = np.unpackbits(
+            r.integers(0, 256, (B, 258), dtype=np.uint8), axis=1)
+        cw = np.concatenate([ib, ldpc.encode_bits_np(ib)], axis=1)
+        sd = (1 - 2.0 * cw) + r.normal(0, np.sqrt(1 / (2 * esn0)), cw.shape)
+        llr = jnp.asarray(ldpc.sd_to_llr(jnp.asarray(sd, jnp.float32)))
+
+        for name, fn in (("minsum", ldpc.decode_minsum),
+                         ("sumproduct", ldpc.decode)):
+            t0 = time.perf_counter()
+            bits, iters, ok = fn(llr)
+            np.asarray(bits[:1])                    # honest first-call
+            first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                bits, iters, ok = fn(llr)
+            host_bits = np.asarray(bits)            # fetch INSIDE the timer
+            dt = (time.perf_counter() - t0) / args.reps
+            it = np.asarray(iters)
+            hist = np.bincount(np.clip(it, 0, 10), minlength=11)
+            emit({"decoder": name, "B": B,
+                  "codewords_per_s": round(B / dt, 0),
+                  "mbit_per_s": round(B * 2064 / dt / 1e6, 1),
+                  "first_s": round(first, 1),
+                  "ebno_db": args.ebno_db,
+                  "parity_ok_frac": round(float(np.asarray(ok).mean()), 3),
+                  "iter_hist": hist.tolist()})
+
+
+if __name__ == "__main__":
+    main()
