@@ -473,7 +473,8 @@ def _degraded_stream_program_rate(cfg, raw, n_packets):
     nf = cfg.num_frames(chunk_len)
     k = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
     fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt,
-                          P._fused_unroll(None), P._fused_fstep(None))
+                          P._fused_unroll(None), P._fused_fstep(None),
+                          tuple(int(s) for s in starts))
     box = {}
     done = threading.Event()
 

@@ -46,7 +46,8 @@ def main():
         sj, kj = jnp.asarray(starts), jnp.asarray(skips)
         for fs in (int(f) for f in args.fstep.split(",")):
             try:
-                fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt, 1, fs)
+                fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt, 1, fs,
+                                      tuple(int(s) for s in starts))
                 t0 = time.perf_counter()
                 packed = np.asarray(fn(d, sj, kj))
                 first = time.perf_counter() - t0

@@ -116,7 +116,8 @@ def main():
     # (b) the full fused chain (the production program, export-cached)
     fs = P._fused_fstep(None)
     fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt,
-                          P._fused_unroll(None), fs)
+                          P._fused_unroll(None), fs,
+                          tuple(int(s) for s in starts))
     timed("full_chain", fn, d, sj, kj, k=k, fstep=fs)
 
 

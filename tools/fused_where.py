@@ -71,7 +71,8 @@ def main():
     timed("where_demod", demod_only, d, sj)
 
     k = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
-    fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt, 1, fs)
+    fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt, 1, fs,
+                          tuple(int(s) for s in starts))
     timed("where_chain", fn, d, sj, kj, k=k)
 
 if __name__ == "__main__":

@@ -189,7 +189,7 @@ def _fused_geometry(cfg: fsk.FSKConfig, mode: str, n: int, n_chunks: int,
 @_functools.lru_cache(maxsize=8)
 def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
                    k: int, max_iter: int, fmt: str, unroll: int = 1,
-                   fstep: int = 1):
+                   fstep: int = 1, starts_static: tuple | None = None):
     """Compile the ONE-dispatch RX chain: ingest-format conversion +
     overlap-save chunk gather + vmapped scan demod + on-device UW top-k
     deframe + batched BP decode + CRC — a single XLA program.
@@ -212,8 +212,20 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
         pad_val = 127 if fmt == "cu8" else 0       # 127 == 0.0 after center
         pad = jnp.full((chunk_len, 2), pad_val, data.dtype)
         buf = jnp.concatenate([data, pad], axis=0)
-        ix = starts[:, None] + jnp.arange(chunk_len, dtype=jnp.int32)
-        chunks = buf[ix]                  # (C, chunk_len, 2) raw pairs
+        if starts_static is not None:
+            # chunk starts are compile-time (the geometry already keys the
+            # program on n via chunk_len): C contiguous STATIC slices.
+            # The advanced-indexing gather this replaces lowered to a
+            # ~210 MB/s scalar-ish gather that cost 0.92 s of the 1.2 s
+            # program on chip (tools/fused_where.py, 2026-08-21)
+            chunks = jnp.stack([
+                jax.lax.slice(buf, (s, 0), (s + chunk_len, 2))
+                for s in starts_static])
+        else:
+            # mesh path: traced starts carry the chunk-axis sharding that
+            # drives XLA's partitioning — keep the gather form there
+            ix = starts[:, None] + jnp.arange(chunk_len, dtype=jnp.int32)
+            chunks = buf[ix]              # (C, chunk_len, 2) raw pairs
 
         def one(chunk, skip):
             # format conversion per chunk, after the gather: avoids
@@ -259,6 +271,8 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
         key += f"_u{unroll}"
     if fstep != 1:
         key += f"_f{fstep}"
+    if starts_static is not None:
+        key += "_s" + _hl.sha1(repr(starts_static).encode()).hexdigest()[:8]
     return jaxcache.export_cached_jit(jax.jit(run), key)
 
 
@@ -367,7 +381,9 @@ def decode_iq_fused(raw: np.ndarray, mode: str = "v2",
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
                         input_format, _fused_unroll(scan_unroll),
-                        _fused_fstep(frames_per_step))
+                        _fused_fstep(frames_per_step),
+                        None if mesh is not None
+                        else tuple(int(s) for s in starts))
     if mesh is not None:
         # export artifacts are not sharding-specialized: use the pristine
         # jitted program so XLA partitions it for THIS mesh.  device_put
@@ -451,7 +467,8 @@ def decode_iq_fused_overlap(raw: np.ndarray, mode: str = "v2",
 
     fn = _fused_program(cfg, mode, chunk_len, nf, k_per_chunk, max_iter,
                         input_format, _fused_unroll(scan_unroll),
-                        _fused_fstep(frames_per_step))
+                        _fused_fstep(frames_per_step),
+                        tuple(int(s) for s in starts))
     starts_j = jnp.asarray(starts)
     skips_j = {False: jnp.asarray(skips), True: jnp.asarray(skips_mid)}
 
@@ -544,7 +561,8 @@ class FusedReceiver:
                                   max_iter, "c64" if input_format == "c64"
                                   else input_format,
                                   _fused_unroll(scan_unroll),
-                                  _fused_fstep(frames_per_step))
+                                  _fused_fstep(frames_per_step),
+                                  tuple(int(s) for s in starts))
         self._starts_j = jnp.asarray(starts)
         # mid-stream slabs have cold estimators at chunk 0 too: blank its
         # warmup exactly like decode_iq_fused_overlap's skips_mid
