@@ -59,9 +59,14 @@ def channelize(iq: jnp.ndarray, n_channels: int,
     hp = h.reshape(taps_per_phase, N)             # hp[s, p] = h[s*N + p]
     # filter along frames per phase: y[m, p] = sum_s hp[s, p] xf[m-s, p]
     xp = jnp.pad(xf, ((taps_per_phase - 1, 0), (0, 0)))
-    idx = jnp.arange(x.shape[0])[:, None] + jnp.arange(taps_per_phase)[None, :]
-    windows = xp[idx]                             # (frames, T, N)
-    y = jnp.einsum("mtp,tp->mp", windows, hp[::-1])
+    # T static shifted slices instead of an advanced-indexing window
+    # gather: the gather form lowers to a ~210 MB/s scalar-ish gather on
+    # the target backend (tools/fused_where.py, r5) — slices are plain
+    # contiguous copies.  The stacked einsum keeps the identical
+    # 12-term reduction.
+    frames = x.shape[0]
+    windows = jnp.stack([xp[s: s + frames] for s in range(taps_per_phase)])
+    y = jnp.einsum("tmp,tp->mp", windows, hp[::-1])
     # sum_p y[m,p] e^{+2pi i kp/N} == DFT(y) evaluated at bin (-k) mod N
     chans = compat.dft(y)                         # (frames, N)
     chans = chans[:, (-jnp.arange(N)) % N]
