@@ -590,10 +590,9 @@ def stage_stream():
     _checkpoint()
 
     candidates = []      # (msps, gate_ok, label)
-    # defaults from tools/stream_tune.py 2026-08-21: fused32 beat 16/64 on
-    # program rate (37-38 MS/s degraded-exec day); overlap 4 slabs x 16
-    # chunks/slab was the best real-ingest config on a degraded wire
-    n_chunks = int(os.environ.get("WENET_BENCH_PAR_CHUNKS", "32"))
+    # r5 re-tune (tools/chain_fstep_tune.py, static-slice chunking): c128
+    # f16 = 426 MS/s device-resident; c256 crashes the remote compiler
+    n_chunks = int(os.environ.get("WENET_BENCH_PAR_CHUNKS", "128"))
 
     if not h2d_done.is_set():
         # H2D is wedged: the host-ingest candidates below all begin with a
