@@ -294,8 +294,8 @@ def stage_chain(reps=2):
     B = int(os.environ.get("WENET_BENCH_STREAMS", "256"))
     R = int(os.environ.get("WENET_BENCH_CHAIN_ROUNDS", "16"))
     # frames per scan step (bit-exact; amortizes the per-lane window
-    # gather F-fold — r5 scan-cost work)
-    FSTEP = int(os.environ.get("WENET_CHAIN_FSTEP", "8"))
+    # gather F-fold — r5 scan-cost work: F=8 514 MS/s, F=16 634 MS/s)
+    FSTEP = int(os.environ.get("WENET_CHAIN_FSTEP", "16"))
     ebnos = jnp.linspace(8.0, 15.0, B)
 
     @jax.jit
