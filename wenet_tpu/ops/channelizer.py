@@ -117,7 +117,16 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
         return out
 
     nf = cfg.num_frames(len(iq) // n_channels)
-    sel_j = jnp.asarray(np.asarray(sel, np.int32))
+    sel_t = tuple(int(k) for k in sel)    # compile-time channel selection
+    from ..rx.pipeline import _fused_fstep
+    _fs = _fused_fstep(None)      # frames/scan-step (bit-exact, r5)
+
+    def _select(chans):
+        """Static row selection (a traced index-array gather copies the
+        whole filterbank output at ~210 MB/s on the target backend)."""
+        if sel_t == tuple(range(chans.shape[0])):
+            return chans
+        return jnp.stack([chans[k] for k in sel_t])
 
     if fused:
         from ..core import framing
@@ -126,11 +135,11 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
         kk = int(np.ceil(nf * cfg.Nbits / syms_pp)) + 2
 
         @partial(jax.jit, static_argnames=("nc",))
-        def whole(x, ks, nc):
-            chans = channelize(x, nc)[ks]
+        def whole(x, nc):
+            chans = _select(channelize(x, nc))
 
             def one(c):
-                _, outs = fsk.demod_stream(cfg, c, nf)
+                _, outs = fsk.demod_stream(cfg, c, nf, frames_per_step=_fs)
                 soft = jnp.where(outs.valid[:, None], outs.soft,
                                  1.0).reshape(-1)
                 pb, ok, _, pos = deframe.deframe_topk(
@@ -139,7 +148,7 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
             return jax.vmap(one)(chans)
 
         pb, ok, pos = jax.tree.map(np.asarray, whole(
-            compat.put_complex(iq), sel_j, n_channels))
+            compat.put_complex(iq), n_channels))
         out = {}
         for i, k in enumerate(sel):
             hits = sorted((int(pos[i, j]), pb[i, j, :256].tobytes())
@@ -148,12 +157,13 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
         return out
 
     @partial(jax.jit, static_argnames=("nc",))
-    def front_end(x, ks, nc):
-        chans = channelize(x, nc)[ks]             # (len(sel), n/N)
-        return jax.vmap(lambda c: fsk.demod_stream(cfg, c, nf)[1])(chans)
+    def front_end(x, nc):
+        chans = _select(channelize(x, nc))        # (len(sel), n/N)
+        return jax.vmap(lambda c: fsk.demod_stream(
+            cfg, c, nf, frames_per_step=_fs)[1])(chans)
 
     outs = jax.tree.map(np.asarray, front_end(
-        compat.put_complex(iq), sel_j, n_channels))
+        compat.put_complex(iq), n_channels))
     out = {}
     for i, k in enumerate(sel):
         soft = outs.soft[i][outs.valid[i]].reshape(-1)
