@@ -147,8 +147,9 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
                 return pb, ok, pos
             return jax.vmap(one)(chans)
 
-        pb, ok, pos = jax.tree.map(np.asarray, whole(
-            compat.put_complex(iq), n_channels))
+        x_dev = (iq if isinstance(iq, jax.Array)
+                 else compat.put_complex(iq))    # callers may pre-put
+        pb, ok, pos = jax.tree.map(np.asarray, whole(x_dev, n_channels))
         out = {}
         for i, k in enumerate(sel):
             hits = sorted((int(pos[i, j]), pb[i, j, :256].tobytes())
@@ -163,7 +164,8 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
             cfg, c, nf, frames_per_step=_fs)[1])(chans)
 
     outs = jax.tree.map(np.asarray, front_end(
-        compat.put_complex(iq), n_channels))
+        iq if isinstance(iq, jax.Array) else compat.put_complex(iq),
+        n_channels))
     out = {}
     for i, k in enumerate(sel):
         soft = outs.soft[i][outs.valid[i]].reshape(-1)
