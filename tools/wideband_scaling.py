@@ -122,7 +122,8 @@ def measure(nch: int, reps: int = 2, log=lambda *a: None):
     # the per-rep put_complex otherwise makes this a wire benchmark
     from wenet_tpu.utils import compat
     wide_dev = compat.put_complex(wide)
-    np.asarray(wide_dev[-4:])
+    np.asarray(wide_dev[-4:].real)    # honest tail fetch — f32, never
+    #   complex (complex D2H returns UNIMPLEMENTED on some sessions)
 
     t0 = time.perf_counter()
     out = channelizer.demod_multichannel(wide_dev, fs_total, nch, cfg,
