@@ -20,13 +20,18 @@ watchdog; every stage checkpoints partial results as it measures):
                          host memory -> CRC-valid packets.  Measured paths:
                          (a) decode_iq_fused — ONE H2D + ONE device program
                          (demod+deframe+LDPC+CRC) + one small D2H;
-                         (b) Receiver.push streaming (12 s prefix), pipelined
-                         and serial, raw-cu8 device-side conversion.
+                         (b) slab-pipelined decode_iq_fused_overlap;
+                         (c) FusedReceiver push (full capture, 2 s cu8
+                         buckets, depth-2 slab pipelining) + cold/warm
+                         time-to-first-packet;
+                         (d) classic exact-FSM Receiver.push (8 s prefix),
+                         pipelined and serial.
                          The headline stream_ingest_msps takes the fastest
                          path that also decoded the expected packet count
                          (throughput with missing packets doesn't count).
-  3. ldpc rate         — decoder-only codewords/s
-  4. pallas rate       — optional (WENET_BENCH_PALLAS=1)
+  3. wideband          — channelized N=8/16 fused pipeline scaling
+  4. ldpc rate         — decoder-only codewords/s (+ min-sum; pallas
+                         optional via WENET_BENCH_PALLAS=1)
 
 Robustness: compile latency on tunnelled TPU backends can be pathological
 (measured: the same program that compiles in 9 s on a good day ran >900 s
