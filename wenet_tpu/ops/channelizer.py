@@ -67,9 +67,12 @@ def channelize(iq: jnp.ndarray, n_channels: int,
     frames = x.shape[0]
     windows = jnp.stack([xp[s: s + frames] for s in range(taps_per_phase)])
     y = jnp.einsum("tmp,tp->mp", windows, hp[::-1])
-    # sum_p y[m,p] e^{+2pi i kp/N} == DFT(y) evaluated at bin (-k) mod N
+    # sum_p y[m,p] e^{+2pi i kp/N} == DFT(y) evaluated at bin (-k) mod N.
+    # The (-k) % N permutation is [0, N-1, ..., 1]: bin 0 + the reversed
+    # tail — two static slices + a reverse, NOT a traced-index gather
+    # (advanced indexing lowers to a ~210 MB/s gather on this backend)
     chans = compat.dft(y)                         # (frames, N)
-    chans = chans[:, (-jnp.arange(N)) % N]
+    chans = jnp.concatenate([chans[:, :1], chans[:, :0:-1]], axis=1)
     return jnp.swapaxes(chans, 0, 1).astype(jnp.complex64)
 
 
