@@ -83,6 +83,51 @@ def channel_centres(Fs: int, n_channels: int) -> np.ndarray:
     return np.where(f >= Fs / 2, f - Fs, f)
 
 
+def _select_static(chans, sel_t: tuple):
+    """Static row selection (a traced index-array gather copies the whole
+    filterbank output at ~210 MB/s on the target backend)."""
+    if sel_t == tuple(range(chans.shape[0])):
+        return chans
+    return jnp.stack([chans[k] for k in sel_t])
+
+
+@__import__("functools").lru_cache(maxsize=16)
+def _wideband_fused_program(cfg, mode: str, nc: int, nf: int, kk: int,
+                            max_iter: int, fstep: int, sel_t: tuple):
+    """Cached one-dispatch wideband program: filterbank + per-channel demod
+    + top-k deframe + BP decode + CRC.  Module-level cache: a jit defined
+    inside demod_multichannel is a fresh function object per CALL, so every
+    invocation re-traced and re-loaded from the XLA disk cache (~2 s) —
+    measured as a 40x wall-clock loss on the wideband bench (r5)."""
+    from ..ops import deframe, fsk
+
+    @jax.jit
+    def whole(x):
+        chans = _select_static(channelize(x, nc), sel_t)
+
+        def one(c):
+            _, outs = fsk.demod_stream(cfg, c, nf, frames_per_step=fstep)
+            soft = jnp.where(outs.valid[:, None], outs.soft, 1.0).reshape(-1)
+            pb, ok, _, pos = deframe.deframe_topk(
+                soft, mode=mode, k=kk, max_iter=max_iter)
+            return pb, ok, pos
+        return jax.vmap(one)(chans)
+    return whole
+
+
+@__import__("functools").lru_cache(maxsize=16)
+def _wideband_demod_program(cfg, nc: int, nf: int, fstep: int, sel_t: tuple):
+    """Cached channelize + vmapped demod (host-side deframe variant)."""
+    from ..ops import fsk
+
+    @jax.jit
+    def front_end(x):
+        chans = _select_static(channelize(x, nc), sel_t)
+        return jax.vmap(lambda c: fsk.demod_stream(
+            cfg, c, nf, frames_per_step=fstep)[1])(chans)
+    return front_end
+
+
 def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
                        cfg, mode: str = "v2", channels=None,
                        vectorized: bool = True, max_iter: int = 10,
@@ -124,35 +169,16 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
     from ..rx.pipeline import _fused_fstep
     _fs = _fused_fstep(None)      # frames/scan-step (bit-exact, r5)
 
-    def _select(chans):
-        """Static row selection (a traced index-array gather copies the
-        whole filterbank output at ~210 MB/s on the target backend)."""
-        if sel_t == tuple(range(chans.shape[0])):
-            return chans
-        return jnp.stack([chans[k] for k in sel_t])
-
     if fused:
         from ..core import framing
         syms_pp = (framing.V2_SYMBOLS_PER_PACKET if mode == "v2"
                    else framing.V1_SYMBOLS_PER_PACKET)
         kk = int(np.ceil(nf * cfg.Nbits / syms_pp)) + 2
-
-        @partial(jax.jit, static_argnames=("nc",))
-        def whole(x, nc):
-            chans = _select(channelize(x, nc))
-
-            def one(c):
-                _, outs = fsk.demod_stream(cfg, c, nf, frames_per_step=_fs)
-                soft = jnp.where(outs.valid[:, None], outs.soft,
-                                 1.0).reshape(-1)
-                pb, ok, _, pos = deframe.deframe_topk(
-                    soft, mode=mode, k=kk, max_iter=max_iter)
-                return pb, ok, pos
-            return jax.vmap(one)(chans)
-
+        whole = _wideband_fused_program(cfg, mode, n_channels, nf, kk,
+                                        max_iter, _fs, sel_t)
         x_dev = (iq if isinstance(iq, jax.Array)
                  else compat.put_complex(iq))    # callers may pre-put
-        pb, ok, pos = jax.tree.map(np.asarray, whole(x_dev, n_channels))
+        pb, ok, pos = jax.tree.map(np.asarray, whole(x_dev))
         out = {}
         for i, k in enumerate(sel):
             hits = sorted((int(pos[i, j]), pb[i, j, :256].tobytes())
@@ -160,15 +186,9 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
             out[k] = [payload for _, payload in hits]
         return out
 
-    @partial(jax.jit, static_argnames=("nc",))
-    def front_end(x, nc):
-        chans = _select(channelize(x, nc))        # (len(sel), n/N)
-        return jax.vmap(lambda c: fsk.demod_stream(
-            cfg, c, nf, frames_per_step=_fs)[1])(chans)
-
+    front_end = _wideband_demod_program(cfg, n_channels, nf, _fs, sel_t)
     outs = jax.tree.map(np.asarray, front_end(
-        iq if isinstance(iq, jax.Array) else compat.put_complex(iq),
-        n_channels))
+        iq if isinstance(iq, jax.Array) else compat.put_complex(iq)))
     out = {}
     for i, k in enumerate(sel):
         soft = outs.soft[i][outs.valid[i]].reshape(-1)
