@@ -110,7 +110,14 @@ def _wideband_fused_program(cfg, mode: str, nc: int, nf: int, kk: int,
             soft = jnp.where(outs.valid[:, None], outs.soft, 1.0).reshape(-1)
             pb, ok, _, pos = deframe.deframe_topk(
                 soft, mode=mode, k=kk, max_iter=max_iter)
-            return pb, ok, pos
+            # pack bytes + ok + pos(le32) into ONE uint8 array — a single
+            # D2H fetch for the whole wideband result (each fetch is a
+            # tunnel round-trip, ~25 ms on degraded days)
+            pu = pos.astype(jnp.uint32)
+            pos_b = jnp.stack([(pu >> s).astype(jnp.uint8)
+                               for s in (0, 8, 16, 24)], axis=-1)
+            return jnp.concatenate(
+                [pb, ok[:, None].astype(jnp.uint8), pos_b], axis=-1)
         return jax.vmap(one)(chans)
     return whole
 
@@ -178,7 +185,12 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
                                         max_iter, _fs, sel_t)
         x_dev = (iq if isinstance(iq, jax.Array)
                  else compat.put_complex(iq))    # callers may pre-put
-        pb, ok, pos = jax.tree.map(np.asarray, whole(x_dev))
+        packed = np.asarray(whole(x_dev))        # ONE D2H fetch
+        pb = packed[:, :, :258]
+        ok = packed[:, :, 258].astype(bool)
+        pu = packed[:, :, 259:263].astype(np.uint32)
+        pos = (pu[..., 0] | (pu[..., 1] << 8) | (pu[..., 2] << 16)
+               | (pu[..., 3] << 24)).view(np.int32)
         out = {}
         for i, k in enumerate(sel):
             hits = sorted((int(pos[i, j]), pb[i, j, :256].tobytes())
