@@ -848,7 +848,9 @@ def stage_ldpc(reps=3):
     t0 = time.perf_counter()
     for _ in range(reps):
         bits_out, _, _ = ldpc.decode(llr)
-    bits_out.block_until_ready()
+    np.asarray(bits_out[:1])   # honest tail: a slice of the output buffer
+    #   still requires the whole batch executed (r5 fetch discipline),
+    #   without making the timer a D2H wire benchmark
     RESULTS["ldpc_codewords_per_s"] = round(
         nB * reps / (time.perf_counter() - t0), 0)
     _checkpoint()
@@ -859,7 +861,7 @@ def stage_ldpc(reps=3):
     t0 = time.perf_counter()
     for _ in range(reps):
         b2, _, _ = ldpc.decode_minsum(llr)
-    b2.block_until_ready()
+    np.asarray(b2[:1])
     RESULTS["minsum_codewords_per_s"] = round(
         nB * reps / (time.perf_counter() - t0), 0)
     _checkpoint()
