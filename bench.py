@@ -472,7 +472,7 @@ def _degraded_stream_program_rate(cfg, raw, n_packets):
     secs_p = 12.0
     sub = raw[: 2 * int(secs_p * cfg.Fs)]
     data, n, fmt = P._normalize_fused_input(sub, "cu8")
-    n_chunks = 8
+    n_chunks = 32      # ~360k-sample chunks: the c128-on-95s lane density
     syms_pp, chunk_len, starts, skips = P._fused_geometry(
         cfg, "v2", n, n_chunks, 8)
     nf = cfg.num_frames(chunk_len)
@@ -834,7 +834,7 @@ def stage_ldpc(reps=3):
     import jax.numpy as jnp
     from wenet_tpu.ops import ldpc
 
-    nB = 512
+    nB = 2048          # B-scaling sweet spot (tools/minsum_scaling.py r5)
     r2 = np.random.default_rng(1)
     ib = np.unpackbits(r2.integers(0, 256, (nB, 258), dtype=np.uint8), axis=1)
     cw = np.concatenate([ib, ldpc.encode_bits_np(ib)], axis=1)
