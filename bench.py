@@ -683,7 +683,8 @@ def stage_stream():
     # FULL capture in 2 s cu8 buckets: the realtime-pipeline contract of
     # start_rx_headless.sh:130-133.
     if _remaining() < 90:
-        RESULTS["stream_push_skipped"] = "budget"
+        RESULTS["stream_push_fused_skipped"] = "budget"
+        RESULTS["stream_push_fsm_skipped"] = "budget"
         _checkpoint()
         _finish_stream(candidates, cfg)
         return
@@ -742,7 +743,7 @@ def stage_stream():
     # chunks (device-side conversion), pipelined (PP) vs serial, on a
     # short prefix — the bit-for-bit C-chain-parity live mode
     if _remaining() < 90:
-        RESULTS["stream_push_skipped"] = "budget"
+        RESULTS["stream_push_fsm_skipped"] = "budget"
         _checkpoint()
         _finish_stream(candidates, cfg)
         return
@@ -929,8 +930,8 @@ def main(total_budget: float):
     for a program that takes 9 s on a good day) is SIGTERMed at its budget
     — its checkpointed partial results survive — and the NEXT stage still
     runs, so a bad day lands the cheap stages and a good day lands
-    everything.  Budget split: chain <= 45% of total, stream 75% of the
-    remainder, ldpc the rest."""
+    everything.  Budget split: chain <= 40% of total, stream 65% of the
+    remainder, wideband 55% of what is left after that, ldpc the rest."""
     t_end = time.time() + total_budget - 15.0        # reserve for emit
     order = [("chain", 0.40 * total_budget),
              ("stream", None),                        # 65% of what's left

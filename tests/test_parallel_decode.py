@@ -229,3 +229,19 @@ def test_fused_receiver_c64_and_latency():
     got += rx.flush()
     assert set(got) <= set(payloads)
     assert len(got) >= 9
+
+
+def test_fused_receiver_push_after_flush():
+    """flush() re-anchors the stream: a later push starts a fresh segment
+    at the current global sample count and its packets still decode (the
+    review-found _base/_next desync dropped them silently)."""
+    rng = np.random.default_rng(72)
+    p1, iq1 = _capture(6, rng, ebno=13.0)
+    p2, iq2 = _capture(6, rng, ebno=13.0)
+    rx = pipeline.FusedReceiver(mode="v2", cfg=CFG,
+                                push_samples=len(iq1) // 2, n_chunks=3,
+                                input_format="c64", depth=1)
+    got1 = list(rx.push(iq1)) + rx.flush()
+    got2 = list(rx.push(iq2)) + rx.flush()
+    assert len(got1) >= 5 and set(got1) <= set(p1)
+    assert len(got2) >= 5 and set(got2) <= set(p2)

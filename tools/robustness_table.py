@@ -64,6 +64,8 @@ def make_flight_capture(cfg, mode, n_packets, rng, ebno_db=None):
 def sweep(mode: str, log=lambda *a: None):
     from wenet_tpu.ops import channel, fsk
     from wenet_tpu.rx.pipeline import Receiver
+    from wenet_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()     # CLAUDE.md: every TPU-capable entrypoint
 
     cfg = fsk.V1_CONFIG if mode == "v1" else fsk.V2_CONFIG
     rows = []

@@ -80,7 +80,8 @@ def main():
         nf = cfg.num_frames(chunk_len)
         k = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
         fn = P._fused_program(cfg, "v2", chunk_len, nf, k, 10, fmt,
-                             P._fused_unroll(None))
+                              P._fused_unroll(None), P._fused_fstep(None),
+                              tuple(int(s) for s in starts))
         t0 = time.perf_counter()
         d = jax.device_put(np.ascontiguousarray(data))
         np.asarray(d[-4:])          # block_until_ready lies on device_put

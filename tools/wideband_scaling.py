@@ -141,7 +141,6 @@ def measure(nch: int, reps: int = 2, log=lambda *a: None):
     rec = {"nch": nch, "fs_total": fs_total,
            "wideband_msps": round(msps, 1),
            "band_realtime_x": round(msps * 1e6 / fs_total, 1),
-           "aggregate_channel_msps": round(msps, 1),
            "channels_complete": complete,
            "packets_per_channel": PACKETS_PER_CHANNEL,
            "first_call_s": round(first, 1),

@@ -615,8 +615,9 @@ class FusedReceiver:
             base_bit=begin // self.cfg.Ts))
 
     def _emit_ready(self) -> list:
-        """Dedup and release results, keeping payloads near the still-
-        uncovered stream tail pending (a later slab may re-find them)."""
+        """Dedup (by content + global bit position, like the batch fused
+        paths) and release all drained results; boundary packets re-found
+        by a later slab's halo are suppressed by the position map."""
         self._results.sort(key=lambda x: x[0])
         out = []
         for p, payload in self._results:
@@ -641,22 +642,34 @@ class FusedReceiver:
             self._dispatch_slab(self._next)
             nxt = self._next + self.push_samples
             self._next = nxt
-            trim = max(nxt - self._halo, 0)    # keep the next slab's halo
-            if trim > self._base:
-                self._buf = self._buf[(trim - self._base) * self._width:]
-                self._base = trim
+            # every future slab begins at >= nxt (its backward halo is the
+            # previous slab's forward extension), so nothing before nxt is
+            # ever read again
+            if nxt > self._base:
+                self._buf = self._buf[(nxt - self._base) * self._width:]
+                self._base = nxt
         while len(self._inflight) > self.depth:
             self._drain_one()
         return self._emit_ready() if self._results else []
 
     def flush(self) -> list:
-        """End of stream: process the remaining tail and drain everything."""
+        """End of stream: process the remaining tail and drain everything.
+
+        The receiver stays usable: a later push() starts a FRESH stream
+        segment at the current global sample count (a packet actually
+        spanning the flush boundary is inherently lost — flush means the
+        stream ended there)."""
         while self._next < self._received:
             self._dispatch_slab(self._next)
             self._next += self.push_samples
         while self._inflight:
             self._drain_one()
         self._buf = np.zeros(0, self._dtype)
+        # re-anchor for post-flush pushes: buf[0] is global sample
+        # _received, and the next slab begins there (not at a stale _next
+        # that may overshoot _received from the padded tail slab)
+        self._base = self._received
+        self._next = self._received
         return self._emit_ready()
 
 
