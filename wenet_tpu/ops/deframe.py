@@ -244,10 +244,11 @@ def deframe_topk(soft: jnp.ndarray, mode: str = "v2", k: int = 8,
     scores0 = jnp.where(idx <= n - syms - nuw, scores0, -jnp.inf)
 
     def pick(scores, _):
-        # first-max without arg* primitives (axon backend portability)
-        s = jnp.min(jnp.where(scores >= jnp.max(scores), idx,
-                              jnp.int32(scores.shape[0])))
-        exhausted = ~jnp.isfinite(jnp.max(scores))
+        # first-max via one variadic reduce (fsk.argmax_first): half the
+        # reduction ops of max + min-of-where, identical semantics
+        from . import fsk as _fsk
+        mx, s = _fsk.argmax_first(scores)
+        exhausted = ~jnp.isfinite(mx)
         s = jnp.where(exhausted, jnp.int32(0), s)
         # blank every start whose window would overlap this packet's
         blank = (idx > s - (nuw + syms)) & (idx < s + nuw + syms)

@@ -135,6 +135,27 @@ def hann_window(Ndft: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(TWO_PI * i / (Ndft - 1))).astype(np.float32)
 
 
+def argmax_first(x):
+    """(max value, FIRST index attaining it) along the last axis, as ONE
+    variadic lax.reduce — identical semantics to jnp.max + min-of-where
+    (the comparator is pure compares/selects, associative and commutative,
+    so any reduction order is bit-identical) at half the reduction-op
+    count.  The axon backend supports variadic reduce (probed r5) even
+    though it lacks the arg* primitives jnp.argmax lowers to on some
+    paths."""
+    n = x.shape[-1]
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), x.shape)
+
+    def red(a, b):
+        av, ai = a
+        bv, bi = b
+        tb = (bv > av) | ((bv == av) & (bi < ai))
+        return jnp.where(tb, bv, av), jnp.where(tb, bi, ai)
+
+    return jax.lax.reduce((x, idx), (jnp.float32(-jnp.inf), jnp.int32(n)),
+                          red, (x.ndim - 1,))
+
+
 # ---------------------------------------------------------------- modulator
 
 
@@ -288,14 +309,14 @@ def _freq_est_step(cfg: FSKConfig, fft_est, new_samps, nin, hann):
         upd = fft_est * (1 - tc) + mag * tc
         fft_est = jnp.where(j < n_blocks, upd, fft_est)
 
-    # M peak picks with blanking (fsk.c:633-654) on a copy.  First-max index
-    # built from max + min reductions (identical to argmax's first-occurrence
-    # semantics; avoids arg* primitives some TPU backends lack)
+    # M peak picks with blanking (fsk.c:633-654) on a copy.  First-max
+    # index via one variadic reduce per peak (argmax_first) — identical to
+    # argmax's first-occurrence semantics at half the reduction ops
     work = fft_est
     off = jnp.arange(half)
     peaks = []
     for _ in range(cfg.M):
-        imax = jnp.min(jnp.where(work >= jnp.max(work), off, half))
+        _, imax = argmax_first(work)
         peaks.append(imax)
         blank = (off >= imax - cfg.f_zero_bins) & (off < imax + cfg.f_zero_bins)
         work = jnp.where(blank, 0.0, work)
