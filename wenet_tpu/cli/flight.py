@@ -31,9 +31,9 @@ class SystemClockSetter:
         try:
             # state carries GPS week/iTOW/leapS; derive UTC like the
             # reference's gps_data['datetime'] (ublox.py weeksecondstoutc)
-            import datetime
-            dt = (datetime.datetime(1980, 1, 6) + datetime.timedelta(
-                days=state["week"] * 7, seconds=state["iTOW"] - state["leapS"]))
+            from ..core.packets import gps_weeksecondstoutc_dt
+            dt = gps_weeksecondstoutc_dt(state["week"], state["iTOW"],
+                                         state["leapS"])
             new_time = dt.strftime("%Y-%m-%d %H:%M:%S")
             if self.runner(f'timedatectl set-time "{new_time}"') == 0:
                 self.debug_ptr(

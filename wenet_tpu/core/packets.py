@@ -48,10 +48,16 @@ def decode_packet_type(packet) -> int:
     return bytes(bytearray(packet))[0]
 
 
-def gps_weeksecondstoutc(gpsweek, gpsseconds, leapseconds) -> str:
+def gps_weeksecondstoutc_dt(gpsweek, gpsseconds,
+                            leapseconds) -> "datetime.datetime":
+    """GPS week/seconds-in-week -> UTC datetime (leap seconds removed)."""
     epoch = datetime.datetime(1980, 1, 6)
-    elapsed = datetime.timedelta(days=gpsweek * 7, seconds=gpsseconds)
-    return (epoch + elapsed - datetime.timedelta(seconds=leapseconds)).isoformat()
+    return epoch + datetime.timedelta(days=gpsweek * 7,
+                                      seconds=gpsseconds - leapseconds)
+
+
+def gps_weeksecondstoutc(gpsweek, gpsseconds, leapseconds) -> str:
+    return gps_weeksecondstoutc_dt(gpsweek, gpsseconds, leapseconds).isoformat()
 
 
 # ------------------------------------------------------------------ SSDV

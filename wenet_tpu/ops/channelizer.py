@@ -11,6 +11,7 @@ MXU/VPU-friendly, vmap-able over batches.
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -91,7 +92,7 @@ def _select_static(chans, sel_t: tuple):
     return jnp.stack([chans[k] for k in sel_t])
 
 
-@__import__("functools").lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=16)
 def _wideband_fused_program(cfg, mode: str, nc: int, nf: int, kk: int,
                             max_iter: int, fstep: int, sel_t: tuple):
     """Cached one-dispatch wideband program: filterbank + per-channel demod
@@ -110,19 +111,14 @@ def _wideband_fused_program(cfg, mode: str, nc: int, nf: int, kk: int,
             soft = jnp.where(outs.valid[:, None], outs.soft, 1.0).reshape(-1)
             pb, ok, _, pos = deframe.deframe_topk(
                 soft, mode=mode, k=kk, max_iter=max_iter)
-            # pack bytes + ok + pos(le32) into ONE uint8 array — a single
-            # D2H fetch for the whole wideband result (each fetch is a
-            # tunnel round-trip, ~25 ms on degraded days)
-            pu = pos.astype(jnp.uint32)
-            pos_b = jnp.stack([(pu >> s).astype(jnp.uint8)
-                               for s in (0, 8, 16, 24)], axis=-1)
-            return jnp.concatenate(
-                [pb, ok[:, None].astype(jnp.uint8), pos_b], axis=-1)
+            # ONE uint8 result array == one D2H fetch for the whole
+            # wideband result (deframe.pack_decode_results)
+            return deframe.pack_decode_results(pb, ok, pos)
         return jax.vmap(one)(chans)
     return whole
 
 
-@__import__("functools").lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=16)
 def _wideband_demod_program(cfg, nc: int, nf: int, fstep: int, sel_t: tuple):
     """Cached channelize + vmapped demod (host-side deframe variant)."""
     from ..ops import fsk
@@ -173,8 +169,7 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
 
     nf = cfg.num_frames(len(iq) // n_channels)
     sel_t = tuple(int(k) for k in sel)    # compile-time channel selection
-    from ..rx.pipeline import _fused_fstep
-    _fs = _fused_fstep(None)      # frames/scan-step (bit-exact, r5)
+    _fs = fsk.default_frames_per_step()   # frames/scan-step (bit-exact, r5)
 
     if fused:
         from ..core import framing
@@ -186,11 +181,7 @@ def demod_multichannel(iq: np.ndarray, Fs_total: int, n_channels: int,
         x_dev = (iq if isinstance(iq, jax.Array)
                  else compat.put_complex(iq))    # callers may pre-put
         packed = np.asarray(whole(x_dev))        # ONE D2H fetch
-        pb = packed[:, :, :258]
-        ok = packed[:, :, 258].astype(bool)
-        pu = packed[:, :, 259:263].astype(np.uint32)
-        pos = (pu[..., 0] | (pu[..., 1] << 8) | (pu[..., 2] << 16)
-               | (pu[..., 3] << 24)).view(np.int32)
+        pb, ok, pos = deframe.unpack_decode_results(packed)
         out = {}
         for i, k in enumerate(sel):
             hits = sorted((int(pos[i, j]), pb[i, j, :256].tobytes())

@@ -273,6 +273,29 @@ def deframe_topk(soft: jnp.ndarray, mode: str = "v2", k: int = 8,
     return pbytes, ok, iters, starts
 
 
+def pack_decode_results(pb, ok, pos):
+    """Device-side: pack deframe_topk results — payload bytes + ok flag +
+    position(le32) — into ONE uint8 array (..., k, 263), so a whole
+    program's packet output is a single D2H fetch (each fetch is a tunnel
+    round-trip, ~25 ms on degraded days)."""
+    pu = pos.astype(jnp.uint32)
+    pos_b = jnp.stack([(pu >> s).astype(jnp.uint8)
+                       for s in (0, 8, 16, 24)], axis=-1)
+    return jnp.concatenate(
+        [pb, ok[..., None].astype(jnp.uint8), pos_b], axis=-1)
+
+
+def unpack_decode_results(packed: np.ndarray):
+    """Host-side inverse of pack_decode_results:
+    (..., 263) uint8 -> (payload_bytes (..., 258), ok bool, pos int32)."""
+    pb = packed[..., :258]
+    ok = packed[..., 258].astype(bool)
+    pu = packed[..., 259:263].astype(np.uint32)
+    pos = (pu[..., 0] | (pu[..., 1] << 8) | (pu[..., 2] << 16)
+           | (pu[..., 3] << 24)).view(np.int32)
+    return pb, ok, pos
+
+
 class StreamDeframer:
     """Stateful chunked deframer for live streams.
 

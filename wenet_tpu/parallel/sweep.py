@@ -170,9 +170,8 @@ def chain_per_sweep(cfg: fsk.FSKConfig, ebno_grid, trials_per_point: int,
         z = jax.random.normal(k, (len(sig), 2), jnp.float32)
         iq = s + jnp.sqrt(nvar / 2.0) * jax.lax.complex(z[:, 0], z[:, 1])
         iq = iq / jnp.max(jnp.abs(iq))
-        from ..rx.pipeline import _fused_fstep
-        _, outs = fsk.demod_stream(cfg, iq, nf,
-                                   frames_per_step=_fused_fstep(None))
+        _, outs = fsk.demod_stream(
+            cfg, iq, nf, frames_per_step=fsk.default_frames_per_step())
         soft = outs.soft.reshape(-1)
         ok, iters = _uw_window_decode(cfg, soft, mode, max_iter)
         return ok.astype(jnp.int32), iters
@@ -249,9 +248,8 @@ def acquisition_search(cfg: fsk.FSKConfig, iq, offsets_hz,
         frac = jnp.mod(off_hz / cfg.Fs, 1.0)
         ph = jnp.mod(n * frac, 1.0) * np.float32(2 * np.pi)
         mixed = s * jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
-        from ..rx.pipeline import _fused_fstep
-        _, outs = fsk.demod_stream(cfg, mixed, nf,
-                                   frames_per_step=_fused_fstep(None))
+        _, outs = fsk.demod_stream(
+            cfg, mixed, nf, frames_per_step=fsk.default_frames_per_step())
         hard = jnp.where(outs.soft.reshape(-1) < 0, -1.0, 1.0)
         return jnp.max(jnp.correlate(hard, kern, mode="valid"))
 

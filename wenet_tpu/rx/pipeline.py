@@ -251,13 +251,9 @@ def _fused_program(cfg: fsk.FSKConfig, mode: str, chunk_len: int, nf: int,
             soft = jnp.where(keep[:, None], outs.soft, 1.0).reshape(-1)
             pb, ok, _, pos = deframe.deframe_topk(
                 soft, mode=mode, k=k, max_iter=max_iter)
-            # pack bytes + ok + pos(le32) into ONE uint8 array: a single
-            # D2H fetch for the whole result (tunnel fetches can stall)
-            pu = pos.astype(jnp.uint32)
-            pos_b = jnp.stack([(pu >> s).astype(jnp.uint8)
-                               for s in (0, 8, 16, 24)], axis=-1)
-            return jnp.concatenate(
-                [pb, ok[:, None].astype(jnp.uint8), pos_b], axis=-1)
+            # ONE uint8 result array == one D2H fetch (tunnel fetches
+            # can stall); host side reverses with unpack_decode_results
+            return deframe.pack_decode_results(pb, ok, pos)
         return jax.vmap(one)(chunks, skips)
 
     # big-program lowering is stochastic on tunnelled backends (the
@@ -286,14 +282,10 @@ def _fused_unroll(value):
     return int(_os.environ.get("WENET_FUSED_UNROLL", "1"))
 
 
-def _fused_fstep(value):
-    """Demod frames per scan step (fsk.demod_stream frames_per_step):
-    bit-exact for any value; amortizes the per-lane window gather F-fold
-    (r5 scan-cost work; c128-f16 = 426 MS/s on chip vs 57 at f1).
-    Default 16; env for experiments."""
-    if value is not None:
-        return int(value)
-    return int(_os.environ.get("WENET_FUSED_FSTEP", "16"))
+# frames-per-scan-step knob: canonical home is ops/fsk (ops/parallel
+# callers must not import upward from rx); kept as an alias here for the
+# bench/tools call sites
+_fused_fstep = fsk.default_frames_per_step
 
 
 def _normalize_fused_input(raw, input_format: str):
@@ -317,11 +309,7 @@ def _normalize_fused_input(raw, input_format: str):
 def _unpack_fused(packed: np.ndarray, starts, cfg, base_bit: int = 0):
     """Host-side decode of the fused program's packed result array into
     (global bit position, payload bytes) tuples."""
-    pb = packed[:, :, :258]
-    ok = packed[:, :, 258].astype(bool)
-    pu = packed[:, :, 259:263].astype(np.uint32)
-    pos = (pu[..., 0] | (pu[..., 1] << 8) | (pu[..., 2] << 16)
-           | (pu[..., 3] << 24)).view(np.int32)
+    pb, ok, pos = deframe.unpack_decode_results(packed)
     results = []
     for c in range(packed.shape[0]):
         cb = base_bit + int(starts[c]) // cfg.Ts
@@ -554,7 +542,7 @@ class FusedReceiver:
         self._slab_nsamp = self.push_samples + self._halo + self._flush_len
         _, chunk_len, starts, skips = _fused_geometry(
             cfg, mode, self._slab_nsamp, n_chunks, warmup_frames)
-        self._chunk_len, self._starts = chunk_len, starts
+        self._starts = starts
         nf = cfg.num_frames(chunk_len)
         if k_per_chunk is None:
             k_per_chunk = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2

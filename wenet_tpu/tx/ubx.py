@@ -276,9 +276,8 @@ class UBloxGPS:
             # reference's NTPD-SHM push condition (ublox.py:1186-1188)
             if self.time_sync is not None and d[0] % 1000 == 0:
                 import calendar
-                import datetime
-                dt = (datetime.datetime(1980, 1, 6) + datetime.timedelta(
-                    days=d[2] * 7, seconds=d[0] * 1e-3 - d[3]))
+                from ..core.packets import gps_weeksecondstoutc_dt
+                dt = gps_weeksecondstoutc_dt(d[2], d[0] * 1e-3, d[3])
                 try:
                     self.time_sync(calendar.timegm(dt.utctimetuple()))
                 except Exception as e:
