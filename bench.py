@@ -677,6 +677,40 @@ def stage_stream():
     else:
         RESULTS["stream_overlap_skipped"] = "budget"
 
+    # ---- device-resident program rate of the PRODUCTION fused config
+    # (the c128-f16 = 426 MS/s r5 record): same program the fused
+    # candidate just ran, timed without per-call H2D — what the chip can
+    # ingest when the wire isn't the wall (real PCIe deployment)
+    if _remaining() > 75:
+        try:
+            from wenet_tpu.rx import pipeline as P
+            data, n, fmt = P._normalize_fused_input(raw, "cu8")
+            syms_pp, chunk_len, starts, skips = P._fused_geometry(
+                cfg, "v2", n, n_chunks, 8)
+            nf = cfg.num_frames(chunk_len)
+            kpc = int(np.ceil(chunk_len / cfg.Ts / syms_pp)) + 2
+            fn = P._fused_program(cfg, "v2", chunk_len, nf, kpc, 10, fmt,
+                                  P._fused_unroll(None), P._fused_fstep(None),
+                                  tuple(int(s) for s in starts))
+            d = jax.device_put(np.ascontiguousarray(data))
+            np.asarray(d[-4:])
+            sj, kj = jnp.asarray(starts), jnp.asarray(skips)
+            packed = np.asarray(fn(d, sj, kj))       # warm (exec-cached)
+            t0 = time.perf_counter()
+            for _ in range(2):
+                packed = np.asarray(fn(d, sj, kj))   # ends with the fetch
+            dt = (time.perf_counter() - t0) / 2
+            got = len(P._dedup_payloads(
+                P._unpack_fused(packed, starts, cfg), syms_pp))
+            RESULTS["stream_program_full_msps"] = round(n / dt / 1e6, 2)
+            RESULTS["stream_program_full_rt_x"] = round(n / dt / cfg.Fs, 1)
+            RESULTS["stream_program_full_packets_ok"] = got
+            RESULTS["stream_program_full_chunks"] = n_chunks
+            del d
+        except Exception as e:
+            RESULTS["stream_program_full_error"] = repr(e)[:160]
+        _checkpoint()
+
     # ---- LIVE push path, throughput configuration: FusedReceiver (r5) —
     # chunk-parallel slabs + halo recompute, device deframe, depth-2
     # pipelining (H2D of slab s+1 overlaps execution of slab s).  Fed the
