@@ -245,3 +245,18 @@ def test_fused_receiver_push_after_flush():
     got2 = list(rx.push(iq2)) + rx.flush()
     assert len(got1) >= 5 and set(got1) <= set(p1)
     assert len(got2) >= 5 and set(got2) <= set(p2)
+
+
+def test_fused_receiver_cs16():
+    """cs16 (KA9Q pcmcat s16 IQ) input path through FusedReceiver."""
+    rng = np.random.default_rng(73)
+    payloads, iq = _capture(8, rng, ebno=13.0)
+    iq = iq / (np.abs(iq).max() + 1e-9)
+    pairs = np.empty(2 * len(iq), np.int16)
+    pairs[0::2] = np.clip(np.round(iq.real * fsk.FDMDV_SCALE), -32768, 32767)
+    pairs[1::2] = np.clip(np.round(iq.imag * fsk.FDMDV_SCALE), -32768, 32767)
+    rx = pipeline.FusedReceiver(mode="v2", cfg=CFG,
+                                push_samples=len(iq) // 3, n_chunks=3,
+                                input_format="cs16", depth=1)
+    got = list(rx.push(pairs)) + rx.flush()
+    assert len(got) >= 7 and set(got) <= set(payloads)
