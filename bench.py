@@ -729,7 +729,7 @@ def stage_stream():
         rx = FusedReceiver(mode="v2", input_format="cu8",
                            push_samples=4 * cfg.Fs,
                            n_chunks=int(os.environ.get(
-                               "WENET_BENCH_PUSH_CHUNKS", "8")), depth=2)
+                               "WENET_BENCH_PUSH_CHUNKS", "16")), depth=2)
         got = 0
         t0 = time.perf_counter()
         for i in range(0, len(raw), chunk):
