@@ -189,14 +189,20 @@ def test_demod_multi_frame_step_bit_exact():
     _, o1 = fsk.demod_stream(CFG, jnp.asarray(iq), nf)
     nins = np.asarray(o1.nin)[np.asarray(o1.valid)]
     assert len(set(nins.tolist())) == 3, "test capture must exercise all nin"
+    valid = np.asarray(o1.valid)
     for F in (2, 4, 8):
         _, oF = fsk.demod_stream(CFG, jnp.asarray(iq), nf, frames_per_step=F)
-        for field in ("soft", "bits", "valid", "f_est", "norm_rx_timing",
+        assert np.array_equal(valid, np.asarray(oF.valid))
+        # outputs are defined (and must be bit-exact) on VALID frames;
+        # past-end frames are masked garbage in every caller and may
+        # differ between step shapes
+        for field in ("soft", "bits", "f_est", "norm_rx_timing",
                       "nin", "ebno_db"):
-            a = np.asarray(getattr(o1, field))
-            b = np.asarray(getattr(oF, field))
+            a = np.asarray(getattr(o1, field))[valid]
+            b = np.asarray(getattr(oF, field))[valid]
             assert a.shape == b.shape and np.array_equal(a, b), (F, field)
-        np.testing.assert_allclose(np.asarray(oF.ppm), np.asarray(o1.ppm),
+        np.testing.assert_allclose(np.asarray(oF.ppm)[valid],
+                                   np.asarray(o1.ppm)[valid],
                                    rtol=1e-6, atol=1e-6)
 
 
@@ -244,3 +250,36 @@ def test_4fsk_demod_matches_reference_c():
     assert sign_agree > 0.995, f"sign agreement {sign_agree}"
     rel_err = np.abs(ours - ref) / (np.abs(ref) + 0.1 * scale)
     assert np.median(rel_err) < 0.05, f"median rel err {np.median(rel_err)}"
+
+
+def test_demod_multi_frame_step_bit_exact_odd_ts():
+    """Same frames_per_step contract at the GQRX 48 kHz geometry (Ts=5,
+    ODD — the elastic-nin offsets are 0/2/4, not 0/half/Ts; this config
+    caught the r4 window-select bug)."""
+    import jax.numpy as jnp
+    cfg = fsk.FSKConfig(Fs=48000, Rs=9600)      # Ts=P=5
+    rng = np.random.default_rng(12)
+    bits = rng.integers(0, 2, cfg.Nbits * 50).astype(np.uint8)
+    sig, _ = fsk.fsk_mod_np(cfg, bits, 2 * cfg.Rs, cfg.Rs)
+    iq = (sig + (0.3 * (rng.normal(size=sig.shape)
+                        + 1j * rng.normal(size=sig.shape)))).astype(np.complex64)
+
+    def _resample(x, r):
+        t = np.arange(int(len(x) / r))
+        return (np.interp(t * r, np.arange(len(x)), x.real)
+                + 1j * np.interp(t * r, np.arange(len(x)), x.imag))
+    half = len(iq) // 2
+    iq = np.concatenate([_resample(iq[:half], 1.004),
+                         _resample(iq[half:], 0.996)]).astype(np.complex64)
+    nf = cfg.num_frames(len(iq))
+    _, o1 = fsk.demod_stream(cfg, jnp.asarray(iq), nf)
+    nins = np.asarray(o1.nin)[np.asarray(o1.valid)]
+    assert len(set(nins.tolist())) >= 2
+    valid = np.asarray(o1.valid)
+    for F in (4, 8):
+        _, oF = fsk.demod_stream(cfg, jnp.asarray(iq), nf, frames_per_step=F)
+        assert np.array_equal(valid, np.asarray(oF.valid))
+        for field in ("soft", "bits", "nin", "f_est"):
+            assert np.array_equal(np.asarray(getattr(o1, field))[valid],
+                                  np.asarray(getattr(oF, field))[valid]), \
+                (F, field)

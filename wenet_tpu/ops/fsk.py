@@ -532,8 +532,12 @@ def demod_stream(cfg: FSKConfig, iq: jnp.ndarray, num_frames: int,
     round 4) — F frames per step amortize that gather F-fold.  Frame
     j > 0 inside a step derives its window from frame j-1's by a 3-way
     static-slice select on nin (the same select the single-frame path
-    already uses), so the samples every frame sees are IDENTICAL to the
-    F=1 path: outputs are bit-exact for any F.
+    already uses), so the samples every VALID frame sees are IDENTICAL to
+    the F=1 path: outputs are bit-exact for any F on valid frames.
+    (Frames past the capture end carry valid=False and their output
+    fields are unmasked garbage — different garbage per F, since the
+    frozen-state window plumbing differs; every caller must mask by
+    `valid`, as all in-repo callers do.)
     """
     F = frames_per_step
     n = iq.shape[0] if n_valid is None else n_valid
